@@ -1,0 +1,129 @@
+"""Typed configuration for the satae pipeline.
+
+Every hyperparameter in the reference notebook is an inline literal; this module
+is the single place they all live (the literals ARE the spec — see SURVEY.md §5
+"Config / flag system" for the full citation list):
+
+- per-class subsample cap 2000            (Report.md:74)
+- split fractions 70/15/15, seed 42       (Report.md:178-187)
+- Gaussian noise std 0.03                 (Report.md:229)
+- crop padding 4                          (Report.md:227)
+- batch_size 64                           (Report.md:246)
+- latent_dim 64                           (Report.md:619)
+- AE grid: alpha in {20,25,30,35,40}, lr in {1e-4..1e-1} (Report.md:599-600)
+- AE max_epochs 80, patience 15           (Report.md:626-627)
+- MLP grid: 11 lrs {1e-6..1e-1}, 30 epochs, Adam weight_decay 1e-4
+                                          (Report.md:2611-2612, 2625)
+- MLP dropout 0.3                         (Report.md:2556)
+
+Unlike the reference, the per-class subsample is seeded here (the reference's
+``torch.randperm`` at Report.md:81 is unseeded — a reproducibility bug we fix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+EUROSAT_CLASSES: Tuple[str, ...] = (
+    "AnnualCrop",
+    "Forest",
+    "HerbaceousVegetation",
+    "Highway",
+    "Industrial",
+    "Pasture",
+    "PermanentCrop",
+    "Residential",
+    "River",
+    "SeaLake",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Ingest / split / augmentation configuration (reference L1)."""
+
+    root: Optional[str] = None  # EuroSAT directory of class subfolders; None -> synthetic
+    image_size: int = 64
+    channels: int = 3
+    num_classes: int = 10
+    per_class: int = 2000  # Report.md:74
+    split_fractions: Tuple[float, float, float] = (0.70, 0.15, 0.15)  # Report.md:178
+    split_seed: int = 42  # Report.md:182
+    subsample_seed: int = 0  # reference is unseeded (Report.md:81); we seed it
+    batch_size: int = 64  # Report.md:246
+    crop_padding: int = 4  # Report.md:227
+    noise_std: float = 0.03  # Report.md:229
+    cache_dir: Optional[str] = None  # decode-once uint8 array cache location
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture configuration (reference L2)."""
+
+    latent_dim: int = 64  # Report.md:619
+    encoder_channels: Tuple[int, ...] = (32, 64, 128, 256)  # Report.md:291-307
+    head_hidden: int = 128  # internal classification head, Report.md:423-427
+    mlp_hidden: Tuple[int, ...] = (128, 64)  # external MLP, Report.md:2548-2566
+    mlp_dropout: float = 0.3  # Report.md:2556
+    num_classes: int = 10
+    bn_momentum: float = 0.1  # PyTorch BatchNorm default
+    bn_eps: float = 1e-5  # PyTorch BatchNorm default
+
+
+@dataclasses.dataclass(frozen=True)
+class AETrainConfig:
+    """Supervised-AE grid search configuration (reference C16)."""
+
+    alphas: Tuple[float, ...] = (20.0, 25.0, 30.0, 35.0, 40.0)  # Report.md:599
+    learning_rates: Tuple[float, ...] = (
+        1e-4, 2e-4, 5e-4, 1e-3, 2e-3, 5e-3, 1e-2, 5e-2, 1e-1,
+    )  # Report.md:600
+    max_epochs: int = 80  # Report.md:626
+    patience: int = 15  # Report.md:627
+
+
+@dataclasses.dataclass(frozen=True)
+class MLPTrainConfig:
+    """Latent MLP grid search configuration (reference C22)."""
+
+    learning_rates: Tuple[float, ...] = (
+        1e-6, 5e-6, 1e-5, 5e-5, 1e-4, 5e-4, 1e-3, 5e-3, 1e-2, 5e-2, 1e-1,
+    )  # Report.md:2611
+    epochs: int = 30  # Report.md:2612
+    weight_decay: float = 1e-4  # Report.md:2625
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution configuration (TPU-native; no reference analogue beyond C5)."""
+
+    seed: int = 0
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly throughput runs
+    use_pallas: bool = False  # swap Pallas fused kernels in for the XLA path
+    mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
+    n_devices: Optional[int] = None  # None -> all visible devices
+    donate_buffers: bool = True
+    checkpoint_dir: str = "checkpoints"
+    parallel_configs: bool = False  # vmapped grid sweep instead of sequential
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level bundle mirroring the full notebook pipeline."""
+
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    ae: AETrainConfig = dataclasses.field(default_factory=AETrainConfig)
+    mlp: MLPTrainConfig = dataclasses.field(default_factory=MLPTrainConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    @property
+    def compute_dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.runtime.compute_dtype)
+
+
+def default_config() -> PipelineConfig:
+    return PipelineConfig()
