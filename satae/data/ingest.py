@@ -1,0 +1,122 @@
+"""EuroSAT ingest: directory scan + decode-once uint8 array cache.
+
+Replaces the reference's ``torchvision.datasets.ImageFolder`` with
+``transform=None`` (Report.md:22-39) *and* its pathological access pattern —
+the reference PIL-decodes the entire dataset once for the class histogram
+(Report.md:47), once per class for subsampling (Report.md:78-84), and then
+per image per epoch per grid config during training (SURVEY.md §3.1). Here
+every JPEG is decoded exactly once into a contiguous uint8 array cached as
+``.npz``; all downstream work (subsample, split, augment) is array indexing.
+
+ImageFolder semantics preserved: classes are the sorted subdirectory names,
+labels are their sorted ranks.
+
+Decode backends, fastest first:
+  1. the native C++ libjpeg-turbo loader (satae.io.native_loader) when built,
+  2. PIL.
+
+If ``cfg.root`` is None or missing, falls back to the synthetic learnable
+stand-in (satae.data.synthetic) so tests and benches run in data-free
+environments.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from satae.config import DataConfig
+from satae.data.synthetic import make_synthetic_eurosat
+
+_IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+@dataclass
+class RawDataset:
+    """The decode-once cache: everything downstream is numpy indexing."""
+
+    images: np.ndarray  # uint8 (N, H, W, 3)
+    labels: np.ndarray  # int32 (N,)
+    classes: Tuple[str, ...]
+
+    def __len__(self) -> int:
+        return int(self.images.shape[0])
+
+
+def scan_folder(root: str) -> Tuple[Sequence[Path], np.ndarray, Tuple[str, ...]]:
+    """ImageFolder-style scan: class = sorted subdir name, label = its rank."""
+    rootp = Path(root)
+    classes = tuple(sorted(d.name for d in rootp.iterdir() if d.is_dir()))
+    paths, labels = [], []
+    for idx, cls in enumerate(classes):
+        for p in sorted((rootp / cls).rglob("*")):
+            if p.suffix.lower() in _IMG_EXTS:
+                paths.append(p)
+                labels.append(idx)
+    return paths, np.asarray(labels, np.int32), classes
+
+
+def _decode_pil(paths: Sequence[Path], image_size: int) -> np.ndarray:
+    from PIL import Image
+
+    out = np.empty((len(paths), image_size, image_size, 3), np.uint8)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            im = im.convert("RGB")
+            if im.size != (image_size, image_size):
+                im = im.resize((image_size, image_size))
+            out[i] = np.asarray(im, np.uint8)
+    return out
+
+
+def _decode(paths: Sequence[Path], image_size: int) -> np.ndarray:
+    try:
+        from satae.io.native_loader import decode_batch, native_available
+
+        if native_available() and all(
+                p.suffix.lower() in (".jpg", ".jpeg") for p in paths):
+            return decode_batch([str(p) for p in paths], image_size)
+    except Exception:
+        pass
+    return _decode_pil(paths, image_size)
+
+
+def _cache_path(cache_dir: str, root: str, image_size: int) -> Path:
+    key = hashlib.sha1(f"{os.path.abspath(root)}:{image_size}".encode()).hexdigest()[:16]
+    return Path(cache_dir) / f"eurosat_{key}.npz"
+
+
+def load_folder(root: str, image_size: int = 64,
+                cache_dir: Optional[str] = None) -> RawDataset:
+    """Scan + decode a class-subfolder image tree, with an .npz decode cache."""
+    if cache_dir:
+        cp = _cache_path(cache_dir, root, image_size)
+        if cp.exists():
+            z = np.load(cp, allow_pickle=False)
+            return RawDataset(z["images"], z["labels"],
+                              tuple(str(c) for c in z["classes"]))
+    paths, labels, classes = scan_folder(root)
+    if not paths:
+        raise FileNotFoundError(f"no images under {root}")
+    images = _decode(paths, image_size)
+    ds = RawDataset(images, labels, classes)
+    if cache_dir:
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        np.savez(_cache_path(cache_dir, root, image_size), images=ds.images,
+                 labels=ds.labels, classes=np.asarray(ds.classes))
+    return ds
+
+
+def load_dataset(cfg: DataConfig) -> RawDataset:
+    """Real EuroSAT folder when available, else the synthetic stand-in."""
+    if cfg.root and os.path.isdir(cfg.root):
+        return load_folder(cfg.root, cfg.image_size, cfg.cache_dir)
+    images, labels, classes = make_synthetic_eurosat(
+        per_class=cfg.per_class, image_size=cfg.image_size,
+        seed=cfg.subsample_seed)
+    return RawDataset(images, labels, classes)

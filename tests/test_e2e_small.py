@@ -1,0 +1,91 @@
+"""CPU-runnable tiny end-to-end slice (SURVEY.md §4 / BASELINE.json config 1):
+supervised-AE joint training -> frozen-encoder latent extraction -> MLP
+classifier -> confusion-matrix evaluation, on a small learnable synthetic
+dataset. Asserts the pipeline learns (accuracy >> 10% chance) and that the
+early-stopping / best-epoch machinery behaves."""
+
+import numpy as np
+import pytest
+
+from satae.config import DataConfig, ModelConfig
+from satae.data.ingest import RawDataset
+from satae.data.pipeline import make_splits
+from satae.data.synthetic import make_synthetic_eurosat
+from satae.eval import metrics as M
+from satae.train.extract import extract_features
+from satae.train.loop import train_mlp, train_supervised_ae
+
+IMAGE_SIZE = 32
+MODEL_CFG = ModelConfig(latent_dim=32, encoder_channels=(8, 16, 32, 64))
+DATA_CFG = DataConfig(per_class=48, image_size=IMAGE_SIZE, batch_size=32)
+
+
+@pytest.fixture(scope="module")
+def splits():
+    imgs, labels, classes = make_synthetic_eurosat(
+        per_class=DATA_CFG.per_class, image_size=IMAGE_SIZE, seed=0)
+    return make_splits(RawDataset(imgs, labels, classes), DATA_CFG)
+
+
+@pytest.fixture(scope="module")
+def ae_result(splits):
+    return train_supervised_ae(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        alpha=35.0, lr=2e-3, max_epochs=8, patience=15, seed=0)
+
+
+def test_ae_learns(ae_result):
+    h = ae_result.history
+    assert h["train_loss"][-1] < h["train_loss"][0]
+    assert h["val_loss"][-1] < h["val_loss"][0]
+    # joint CE head should already beat chance on 10 classes
+    assert h["val_acc"][-1] > 0.3
+    assert ae_result.best_epoch >= 0
+    assert np.isfinite(ae_result.best_val_loss)
+
+
+def test_best_epoch_snapshot_is_true_snapshot(splits):
+    """The reference's shallow state_dict bug returned end-of-run weights
+    (SURVEY.md §2); ours must return the weights from the best epoch."""
+    res = train_supervised_ae(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        alpha=35.0, lr=2e-3, max_epochs=3, patience=15, seed=1)
+    from satae.train.steps import make_ae_eval_step
+    from satae.train.loop import run_eval
+    import jax.numpy as jnp
+    eval_step = make_ae_eval_step(MODEL_CFG)
+    val_m = run_eval(eval_step, res.params, res.bn_state, splits.val,
+                     DATA_CFG.batch_size, (jnp.asarray(35.0),))
+    assert val_m["loss"] == pytest.approx(res.best_val_loss, rel=1e-5)
+
+
+def test_full_pipeline_accuracy(splits, ae_result):
+    enc_p = ae_result.params["encoder"]
+    enc_s = ae_result.bn_state["encoder"]
+    Xtr, ytr = extract_features(enc_p, enc_s, splits.train, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    Xva, yva = extract_features(enc_p, enc_s, splits.val, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    Xte, yte = extract_features(enc_p, enc_s, splits.test, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    assert Xtr.shape == (len(splits.train), MODEL_CFG.latent_dim)
+
+    mlp = train_mlp(Xtr, ytr, Xva, yva, model_cfg=MODEL_CFG, lr=1e-3,
+                    weight_decay=1e-4, epochs=15, batch_size=32, seed=0)
+    from satae.train.steps import make_mlp_predict
+    predict = make_mlp_predict(MODEL_CFG)
+    preds = np.asarray(predict(mlp.params, mlp.bn_state, Xte))
+    acc = float((preds == yte).mean())
+    assert acc > 0.5, f"synthetic test accuracy too low: {acc}"
+
+    cm = M.confusion_matrix(yte, preds, 10)
+    assert cm.sum() == len(yte)
+    report = M.classification_report(yte, preds, 10, splits.classes)
+    assert "weighted avg" in report
+
+
+def test_early_stopping_triggers(splits):
+    res = train_supervised_ae(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        alpha=35.0, lr=0.5, max_epochs=30, patience=2, seed=0)  # divergent lr
+    assert res.epochs_run < 30
