@@ -1,0 +1,214 @@
+"""Public API: fit / encode / predict (BASELINE.json north-star surface).
+
+``SatAEPipeline`` packages the full reference notebook flow (SURVEY.md §0):
+ingest -> subsample -> split -> supervised-AE training (single config or the
+45-config grid) -> frozen-encoder latent extraction -> MLP training (single
+lr or the 11-lr grid) -> evaluation. Module-level :func:`fit`,
+:func:`encode`, :func:`predict` are thin conveniences over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satae.config import PipelineConfig, default_config
+from satae.data.augment import normalize
+from satae.data.ingest import RawDataset, load_dataset
+from satae.data.pipeline import ArrayDataset, Splits, make_splits
+from satae.eval import metrics as M
+from satae.io.checkpoint import load_model, save_model
+from satae.models.mlp import mlp_init
+from satae.models.supervised_ae import supervised_ae_init
+from satae.train import steps as S
+from satae.train.extract import extract_features, make_encode_step
+from satae.train.gridsearch import ae_grid_search, mlp_grid_search
+from satae.train.loop import train_mlp, train_supervised_ae
+
+# Reference-optimal single-config hyperparameters (Report.md:2407, 3117):
+BEST_ALPHA = 35.0
+BEST_AE_LR = 5e-3
+BEST_MLP_LR = 1e-4
+
+
+@dataclasses.dataclass
+class FitSummary:
+    ae_val_loss: float
+    ae_hparams: Dict[str, float]
+    mlp_val_acc: float
+    mlp_hparams: Dict[str, float]
+    test_acc: Optional[float] = None
+
+
+class SatAEPipeline:
+    """End-to-end hybrid autoencoder–MLP pipeline with a fit/encode/predict
+    surface, jit execution throughout, and checkpointing."""
+
+    def __init__(self, config: Optional[PipelineConfig] = None):
+        self.config = config or default_config()
+        self.ae_params: Any = None
+        self.ae_bn_state: Any = None
+        self.mlp_params: Any = None
+        self.mlp_bn_state: Any = None
+        self.classes = None
+        self._encode_step = None
+        self._predict_step = None
+
+    # -- training ----------------------------------------------------------
+
+    def fit(self, raw: Optional[RawDataset] = None, *, grid: bool = False,
+            log=None, out_dir: Optional[str] = None) -> FitSummary:
+        """Run the full pipeline. ``grid=True`` reproduces the reference's
+        45-config AE sweep + 11-lr MLP sweep; ``grid=False`` trains only the
+        reference-optimal config (alpha=35, lr=5e-3; MLP lr=1e-4)."""
+        cfg = self.config
+        raw = raw or load_dataset(cfg.data)
+        splits = make_splits(raw, cfg.data)
+        self.classes = splits.classes
+        dtype = cfg.compute_dtype
+
+        if grid:
+            sweep = ae_grid_search(
+                splits.train, splits.val, model_cfg=cfg.model,
+                data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
+                out_dir=out_dir, compute_dtype=dtype, log=log)
+            ae_res, ae_hp = sweep.best, sweep.best_hparams
+        else:
+            ae_res = train_supervised_ae(
+                splits.train, splits.val, model_cfg=cfg.model,
+                data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
+                max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
+                seed=cfg.runtime.seed, compute_dtype=dtype, log=log)
+            ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
+        self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
+
+        # Frozen-encoder latent extraction (Report.md:2590-2609).
+        enc_p = self.ae_params["encoder"]
+        enc_s = self.ae_bn_state["encoder"]
+        Xtr, ytr = extract_features(enc_p, enc_s, splits.train, cfg.model,
+                                    cfg.data.batch_size)
+        Xva, yva = extract_features(enc_p, enc_s, splits.val, cfg.model,
+                                    cfg.data.batch_size)
+
+        if grid:
+            msweep = mlp_grid_search(
+                Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
+                batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
+                out_dir=out_dir, log=log)
+            mlp_res, mlp_hp = msweep.best, msweep.best_hparams
+        else:
+            mlp_res = train_mlp(
+                Xtr, ytr, Xva, yva, model_cfg=cfg.model, lr=BEST_MLP_LR,
+                weight_decay=cfg.mlp.weight_decay, epochs=cfg.mlp.epochs,
+                batch_size=cfg.data.batch_size, seed=cfg.runtime.seed, log=log)
+            mlp_hp = {"lr": BEST_MLP_LR}
+        self.mlp_params, self.mlp_bn_state = mlp_res.params, mlp_res.bn_state
+        self._encode_step = None
+        self._predict_step = None
+
+        test_acc = self.evaluate(splits.test)["accuracy"]
+        summary = FitSummary(ae_res.best_val_loss, ae_hp,
+                             mlp_res.best_val_acc, mlp_hp, test_acc)
+        if out_dir:
+            save_model(Path(out_dir) / "ae_global_best.msgpack",
+                       self.ae_params, self.ae_bn_state, meta=ae_hp)
+            save_model(Path(out_dir) / "mlp_global_best.msgpack",
+                       self.mlp_params, self.mlp_bn_state, meta=mlp_hp)
+            (Path(out_dir) / "fit_summary.json").write_text(
+                json.dumps(dataclasses.asdict(summary), indent=2))
+        return summary
+
+    # -- inference ---------------------------------------------------------
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        """uint8/float images (N,H,W,C) -> latents (N, latent_dim)."""
+        self._require_fitted()
+        if self._encode_step is None:
+            self._encode_step = make_encode_step(self.config.model,
+                                                 self.config.compute_dtype)
+        imgs = np.asarray(images)
+        if imgs.dtype != np.uint8:  # already normalized floats
+            imgs = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
+        z = self._encode_step(self.ae_params["encoder"],
+                              self.ae_bn_state["encoder"], imgs)
+        return np.asarray(z, np.float32)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Images -> predicted class ids, through encoder + MLP."""
+        self._require_fitted()
+        z = self.encode(images)
+        if self._predict_step is None:
+            self._predict_step = S.make_mlp_predict(self.config.model)
+        return np.asarray(self._predict_step(self.mlp_params,
+                                             self.mlp_bn_state, z))
+
+    def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
+        """Confusion matrix + per-class metrics over a split (reference C23)."""
+        preds = []
+        bs = self.config.data.batch_size
+        for lo in range(0, len(ds), bs * 8):
+            preds.append(self.predict(ds.images[lo:lo + bs * 8]))
+        preds = np.concatenate(preds)
+        cm = M.confusion_matrix(ds.labels, preds, self.config.model.num_classes)
+        out = M.per_class_metrics(cm)
+        out["confusion_matrix"] = cm
+        out["report"] = M.classification_report(
+            ds.labels, preds, self.config.model.num_classes,
+            target_names=self.classes)
+        return out
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, out_dir: str) -> None:
+        self._require_fitted()
+        save_model(Path(out_dir) / "ae_global_best.msgpack", self.ae_params,
+                   self.ae_bn_state)
+        save_model(Path(out_dir) / "mlp_global_best.msgpack", self.mlp_params,
+                   self.mlp_bn_state)
+        if self.classes:
+            (Path(out_dir) / "classes.json").write_text(
+                json.dumps(list(self.classes)))
+
+    def load(self, out_dir: str) -> "SatAEPipeline":
+        cfg = self.config
+        key = jax.random.PRNGKey(0)
+        ae_p, ae_s = supervised_ae_init(key, cfg.model,
+                                        in_ch=cfg.data.channels,
+                                        image_size=cfg.data.image_size)
+        mlp_p, mlp_s = mlp_init(key, cfg.model)
+        self.ae_params, self.ae_bn_state = load_model(
+            Path(out_dir) / "ae_global_best.msgpack", ae_p, ae_s)
+        self.mlp_params, self.mlp_bn_state = load_model(
+            Path(out_dir) / "mlp_global_best.msgpack", mlp_p, mlp_s)
+        classes_file = Path(out_dir) / "classes.json"
+        if classes_file.exists():
+            self.classes = tuple(json.loads(classes_file.read_text()))
+        self._encode_step = None
+        self._predict_step = None
+        return self
+
+    def _require_fitted(self) -> None:
+        if self.ae_params is None:
+            raise RuntimeError("pipeline is not fitted — call fit() or load()")
+
+
+# -- module-level conveniences ---------------------------------------------
+
+def fit(config: Optional[PipelineConfig] = None, **kwargs) -> SatAEPipeline:
+    pipe = SatAEPipeline(config)
+    pipe.fit(**kwargs)
+    return pipe
+
+
+def encode(pipe: SatAEPipeline, images: np.ndarray) -> np.ndarray:
+    return pipe.encode(images)
+
+
+def predict(pipe: SatAEPipeline, images: np.ndarray) -> np.ndarray:
+    return pipe.predict(images)

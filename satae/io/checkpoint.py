@@ -1,0 +1,86 @@
+"""Checkpointing: msgpack pytree snapshots + grid-result JSON artifacts.
+
+Mirrors the reference's three persisted artifacts (SURVEY.md §5
+checkpoint/resume):
+  * best supervised-AE weights   (`AE_GLOBAL_BEST.pt`, Report.md:714-716)
+  * best MLP weights             (`MLP_GLOBAL_BEST.pt`, Report.md:2725)
+  * grid-search results JSON     (`validation_losses.json`, Report.md:723-729)
+
+Improvements over the reference: checkpoints are true best-epoch snapshots
+(not the live-tensor shallow copies of Report.md:705/2683), they include the
+BatchNorm running statistics (torch state_dict does too, but the reference's
+bug loses the correct epoch), and the grid sweep flushes results per config
+so a crash mid-sweep is resumable (SURVEY.md §5 failure detection).
+
+Format: flax.serialization msgpack of the {params, bn_state, meta} pytree —
+host-portable, no pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str | Path, pytree: Any) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host = jax.device_get(pytree)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(serialization.to_bytes(host))
+    os.replace(tmp, path)
+
+
+def load_pytree(path: str | Path, like: Any) -> Any:
+    """Restore into the structure of ``like`` (template pytree)."""
+    return serialization.from_bytes(like, Path(path).read_bytes())
+
+
+def save_model(path: str | Path, params: Any, bn_state: Any,
+               meta: Optional[Dict[str, Any]] = None) -> None:
+    save_pytree(path, {"params": params, "bn_state": bn_state})
+    if meta is not None:
+        Path(path).with_suffix(".json").write_text(json.dumps(meta, indent=2))
+
+
+def load_model(path: str | Path, params_like: Any, bn_state_like: Any):
+    blob = load_pytree(path, {"params": params_like, "bn_state": bn_state_like})
+    return blob["params"], blob["bn_state"]
+
+
+class GridResultStore:
+    """Append-safe grid-search result store (the reference's
+    validation_losses.json, flushed per config for crash resumability)."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.results: Dict[str, Dict[str, Any]] = {}
+        if self.path.exists():
+            self.results = json.loads(self.path.read_text())
+
+    @staticmethod
+    def key(**hparams) -> str:
+        return json.dumps({k: hparams[k] for k in sorted(hparams)})
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.results
+
+    def record(self, key: str, value: Dict[str, Any]) -> None:
+        self.results[key] = value
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self.results, indent=2))
+        os.replace(tmp, self.path)
+
+    def best(self, metric: str, mode: str = "min") -> Optional[Dict[str, Any]]:
+        if not self.results:
+            return None
+        sign = 1.0 if mode == "min" else -1.0
+        key = min(self.results, key=lambda k: sign * self.results[k][metric])
+        return {"key": key, **self.results[key]}

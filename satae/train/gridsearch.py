@@ -1,0 +1,146 @@
+"""Hyperparameter grid searches (reference C16 and C22).
+
+AE sweep: alpha x lr (5x9=45 configs, Report.md:595-730), fresh init per
+config, early stopping (patience 15, max 80 epochs), global best by val loss.
+MLP sweep: 11 lrs (Report.md:2587-2733), 30 epochs, best by val accuracy.
+
+TPU-native improvements over the reference:
+  * ONE compiled train step serves every config — alpha/lr are traced scalars
+    (satae.train.steps), so the sweep never recompiles.
+  * Results flush to JSON per config (resumable; the reference loses all
+    in-memory state on a crash, SURVEY.md §5).
+  * A vmapped sweep that trains all configs simultaneously lives in
+    satae.train.vmap_sweep (the sequential path here is the
+    parity-faithful baseline, selecting exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                          ModelConfig)
+from satae.data.pipeline import ArrayDataset
+from satae.io.checkpoint import GridResultStore, save_model
+from satae.train import steps as S
+from satae.train.loop import LogFn, TrainResult, train_mlp, train_supervised_ae
+
+
+@dataclasses.dataclass
+class SweepResult:
+    best: TrainResult
+    best_hparams: Dict[str, float]
+    results: Dict[str, Dict[str, float]]  # key -> summary metrics
+
+
+def ae_grid_search(
+    train_ds: ArrayDataset,
+    val_ds: ArrayDataset,
+    *,
+    model_cfg: ModelConfig,
+    data_cfg: DataConfig,
+    ae_cfg: AETrainConfig,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    log: Optional[LogFn] = None,
+) -> SweepResult:
+    """Sequential alpha x lr sweep with per-config result flushing and a
+    global-best checkpoint (`ae_global_best.msgpack`, the reference's
+    AE_GLOBAL_BEST.pt)."""
+    train_step = S.make_ae_train_step(model_cfg, data_cfg, compute_dtype)
+    eval_step = S.make_ae_eval_step(model_cfg, compute_dtype)
+    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
+        if out_dir else None
+
+    best: Optional[TrainResult] = None
+    best_hp: Dict[str, float] = {}
+    results: Dict[str, Dict[str, float]] = {}
+    for alpha in ae_cfg.alphas:
+        for lr in ae_cfg.learning_rates:
+            key = GridResultStore.key(alpha=alpha, lr=lr)
+            if store is not None and key in store:
+                results[key] = store.results[key]
+                if log:
+                    log(f"skip cached alpha={alpha} lr={lr}")
+                continue
+            res = train_supervised_ae(
+                train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
+                alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
+                patience=ae_cfg.patience, seed=seed,
+                compute_dtype=compute_dtype,
+                train_step=train_step, eval_step=eval_step)
+            summary = {"alpha": alpha, "lr": lr,
+                       "best_val_loss": res.best_val_loss,
+                       "best_val_acc": res.best_val_acc,
+                       "best_epoch": res.best_epoch,
+                       "epochs_run": res.epochs_run}
+            results[key] = summary
+            if store is not None:
+                store.record(key, summary)
+            if log:
+                log(f"alpha={alpha} lr={lr}: val_loss={res.best_val_loss:.4f} "
+                    f"({res.epochs_run} epochs)")
+            if best is None or res.best_val_loss < best.best_val_loss:
+                best = res
+                best_hp = {"alpha": alpha, "lr": lr}
+                if out_dir:
+                    save_model(Path(out_dir) / "ae_global_best.msgpack",
+                               res.params, res.bn_state,
+                               meta={**best_hp,
+                                     "best_val_loss": res.best_val_loss,
+                                     "best_epoch": res.best_epoch})
+    assert best is not None
+    return SweepResult(best, best_hp, results)
+
+
+def mlp_grid_search(
+    train_x: np.ndarray, train_y: np.ndarray,
+    val_x: np.ndarray, val_y: np.ndarray,
+    *,
+    model_cfg: ModelConfig,
+    mlp_cfg: MLPTrainConfig,
+    batch_size: int = 64,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    log: Optional[LogFn] = None,
+) -> SweepResult:
+    """11-point lr sweep over the latent MLP; global best by val accuracy
+    (`mlp_global_best.msgpack`, the reference's MLP_GLOBAL_BEST.pt)."""
+    train_step = S.make_mlp_train_step(model_cfg)
+    eval_step = S.make_mlp_eval_step(model_cfg)
+    store = GridResultStore(Path(out_dir) / "mlp_results.json") \
+        if out_dir else None
+
+    best: Optional[TrainResult] = None
+    best_hp: Dict[str, float] = {}
+    results: Dict[str, Dict[str, float]] = {}
+    for lr in mlp_cfg.learning_rates:
+        res = train_mlp(train_x, train_y, val_x, val_y, model_cfg=model_cfg,
+                        lr=lr, weight_decay=mlp_cfg.weight_decay,
+                        epochs=mlp_cfg.epochs, batch_size=batch_size,
+                        seed=seed, train_step=train_step, eval_step=eval_step)
+        key = GridResultStore.key(lr=lr)
+        summary = {"lr": lr, "best_val_acc": res.best_val_acc,
+                   "best_val_loss": res.best_val_loss,
+                   "best_epoch": res.best_epoch}
+        results[key] = summary
+        if store is not None:
+            store.record(key, summary)
+        if log:
+            log(f"lr={lr}: val_acc={res.best_val_acc:.4f}")
+        if best is None or res.best_val_acc > best.best_val_acc:
+            best = res
+            best_hp = {"lr": lr}
+            if out_dir:
+                save_model(Path(out_dir) / "mlp_global_best.msgpack",
+                           res.params, res.bn_state,
+                           meta={**best_hp, "best_val_acc": res.best_val_acc,
+                                 "best_epoch": res.best_epoch})
+    assert best is not None
+    return SweepResult(best, best_hp, results)

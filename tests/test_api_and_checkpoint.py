@@ -1,0 +1,89 @@
+"""API surface (fit/encode/predict), checkpoint round-trip, grid store."""
+
+import json
+
+import numpy as np
+import pytest
+
+from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                          ModelConfig, PipelineConfig, RuntimeConfig)
+from satae.api import SatAEPipeline
+from satae.data.ingest import RawDataset
+from satae.data.synthetic import make_synthetic_eurosat
+from satae.io.checkpoint import GridResultStore, load_pytree, save_pytree
+
+TINY = PipelineConfig(
+    data=DataConfig(per_class=24, image_size=32, batch_size=32),
+    model=ModelConfig(latent_dim=16, encoder_channels=(4, 8, 16, 16),
+                      mlp_hidden=(32, 16)),
+    ae=AETrainConfig(alphas=(35.0,), learning_rates=(2e-3,), max_epochs=2,
+                     patience=15),
+    mlp=MLPTrainConfig(learning_rates=(1e-3,), epochs=2),
+    runtime=RuntimeConfig(seed=0),
+)
+
+
+@pytest.fixture(scope="module")
+def raw():
+    imgs, labels, classes = make_synthetic_eurosat(per_class=24, image_size=32,
+                                                   seed=0)
+    return RawDataset(imgs, labels, classes)
+
+
+def test_fit_encode_predict_save_load(raw, tmp_path):
+    pipe = SatAEPipeline(TINY)
+    summary = pipe.fit(raw, grid=False, out_dir=str(tmp_path))
+    assert np.isfinite(summary.ae_val_loss)
+    assert 0.0 <= summary.test_acc <= 1.0
+
+    imgs = raw.images[:10]
+    z = pipe.encode(imgs)
+    assert z.shape == (10, TINY.model.latent_dim)
+    preds = pipe.predict(imgs)
+    assert preds.shape == (10,)
+    assert set(np.unique(preds)).issubset(set(range(10)))
+
+    # persistence round-trip produces identical predictions
+    pipe2 = SatAEPipeline(TINY).load(str(tmp_path))
+    np.testing.assert_array_equal(pipe2.predict(imgs), preds)
+    np.testing.assert_allclose(pipe2.encode(imgs), z, atol=1e-6)
+
+    # fit artifacts exist
+    assert (tmp_path / "ae_global_best.msgpack").exists()
+    assert (tmp_path / "mlp_global_best.msgpack").exists()
+    assert json.loads((tmp_path / "fit_summary.json").read_text())
+
+
+def test_fit_with_grid(raw, tmp_path):
+    cfg = TINY
+    pipe = SatAEPipeline(cfg)
+    summary = pipe.fit(raw, grid=True, out_dir=str(tmp_path))
+    assert summary.ae_hparams == {"alpha": 35.0, "lr": 2e-3}
+    assert (tmp_path / "validation_losses.json").exists()
+    assert (tmp_path / "mlp_results.json").exists()
+    # resumability: rerunning the sweep hits the cache and is a no-op
+    store = GridResultStore(tmp_path / "validation_losses.json")
+    assert GridResultStore.key(alpha=35.0, lr=2e-3) in store
+
+
+def test_pytree_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+    save_pytree(tmp_path / "t.msgpack", tree)
+    like = {"a": jnp.zeros(5), "b": {"c": jnp.zeros((2, 3))}}
+    out = load_pytree(tmp_path / "t.msgpack", like)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(5.0))
+    np.testing.assert_array_equal(np.asarray(out["b"]["c"]), np.ones((2, 3)))
+
+
+def test_grid_store(tmp_path):
+    store = GridResultStore(tmp_path / "res.json")
+    k1 = GridResultStore.key(alpha=35.0, lr=0.005)
+    store.record(k1, {"best_val_loss": 0.54, "alpha": 35.0, "lr": 0.005})
+    store.record(GridResultStore.key(alpha=20.0, lr=0.1),
+                 {"best_val_loss": 1.2, "alpha": 20.0, "lr": 0.1})
+    best = store.best("best_val_loss", "min")
+    assert best["alpha"] == 35.0
+    # persisted across instances
+    store2 = GridResultStore(tmp_path / "res.json")
+    assert k1 in store2
