@@ -1,0 +1,91 @@
+"""Data-parallel train/eval step construction over a device mesh.
+
+Wraps the single-program steps from satae.train.steps with explicit
+shardings: params / BN state / optimizer state replicated, the batch sharded
+on axis 0. Because loss and BatchNorm statistics are global-batch means under
+pjit, XLA emits the gradient psum and cross-replica BN reductions over ICI
+automatically — this is DP with *synchronized* BatchNorm, strictly stronger
+than per-replica BN (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from satae.config import DataConfig, ModelConfig
+from satae.data.augment import augment_train_batch, normalize
+from satae.models.supervised_ae import supervised_ae_apply
+from satae.train.losses import accuracy, joint_ae_loss
+from satae.train.optim import adam_update
+
+
+def make_dp_ae_train_step(mesh: Mesh, model_cfg: ModelConfig,
+                          data_cfg: DataConfig, compute_dtype=jnp.float32,
+                          axis: str = "data", donate: bool = True):
+    """Batch-sharded version of steps.make_ae_train_step."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def step(params, bn_state, opt_state, imgs_u8, labels, key, alpha, lr):
+        imgs = augment_train_batch(
+            key, imgs_u8, crop_padding=data_cfg.crop_padding,
+            noise_std=data_cfg.noise_std, dtype=compute_dtype)
+
+        def loss_fn(p):
+            (x_hat, logits, _z), new_bn = supervised_ae_apply(
+                p, bn_state, imgs, train=True, cfg=model_cfg)
+            total, mse, ce = joint_ae_loss(x_hat, logits, imgs, labels, alpha)
+            return total, (new_bn, mse, ce, logits)
+
+        (loss, (new_bn, mse, ce, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lr)
+        metrics = {"loss": loss, "mse": mse, "ce": ce,
+                   "acc": accuracy(logits, labels)}
+        return params, new_bn, opt_state, metrics
+
+    in_shardings = (repl, repl, repl, batch_sh, batch_sh, repl, repl, repl)
+    out_shardings = (repl, repl, repl, repl)
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings,
+                   donate_argnums=(0, 1, 2) if donate else ())
+
+
+def make_dp_ae_eval_step(mesh: Mesh, model_cfg: ModelConfig,
+                         compute_dtype=jnp.float32, axis: str = "data"):
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def step(params, bn_state, imgs_u8, labels, alpha):
+        imgs = normalize(imgs_u8, compute_dtype)
+        (x_hat, logits, _z), _ = supervised_ae_apply(
+            params, bn_state, imgs, train=False, cfg=model_cfg)
+        total, mse, ce = joint_ae_loss(x_hat, logits, imgs, labels, alpha)
+        return {"loss": total, "mse": mse, "ce": ce,
+                "acc": accuracy(logits, labels)}
+
+    return jax.jit(step, in_shardings=(repl, repl, batch_sh, batch_sh, repl),
+                   out_shardings=repl)
+
+
+def make_dp_encode_step(mesh: Mesh, model_cfg: ModelConfig,
+                        compute_dtype=jnp.float32, axis: str = "data"):
+    """Sharded frozen-encoder extraction: latents come back batch-sharded
+    (the host gather is the all-gather)."""
+    from satae.models.encoder import encoder_apply
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def encode(enc_params, enc_state, imgs_u8):
+        x = normalize(imgs_u8, compute_dtype)
+        z, _ = encoder_apply(enc_params, enc_state, x, train=False,
+                             cfg=model_cfg)
+        return z
+
+    return jax.jit(encode, in_shardings=(repl, repl, batch_sh),
+                   out_shardings=batch_sh)

@@ -1,0 +1,104 @@
+"""Multi-device DP tests on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded train step numerics match the single-device step, and BN statistics
+are global-batch (synchronized) under sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satae.config import DataConfig, ModelConfig
+from satae.models.supervised_ae import supervised_ae_init
+from satae.parallel import make_mesh, shard_batch
+from satae.parallel.dp import (make_dp_ae_eval_step, make_dp_ae_train_step,
+                               make_dp_encode_step)
+from satae.train.optim import adam_init
+from satae.train.steps import make_ae_eval_step, make_ae_train_step
+
+MODEL_CFG = ModelConfig(latent_dim=16, encoder_channels=(4, 8, 8, 16))
+DATA_CFG = DataConfig(image_size=32, batch_size=16)
+
+
+def _setup(batch=16):
+    key = jax.random.PRNGKey(0)
+    params, bn_state = supervised_ae_init(key, MODEL_CFG, image_size=32)
+    opt_state = adam_init(params)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (batch, 32, 32, 3), dtype=np.uint8)
+    labels = rng.integers(0, 10, batch).astype(np.int32)
+    return params, bn_state, opt_state, imgs, labels
+
+
+def test_mesh_creation():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    mesh2 = make_mesh(4)
+    assert mesh2.devices.shape == (4,)
+
+
+def test_dp_train_step_matches_single_device():
+    params, bn_state, opt_state, imgs, labels = _setup()
+    key = jax.random.PRNGKey(7)
+    alpha = jnp.asarray(35.0)
+    lr = jnp.asarray(1e-3)
+
+    # single-device reference (no donation so we can reuse inputs)
+    step1 = make_ae_train_step(MODEL_CFG, DATA_CFG, donate=False)
+    p1, bn1, o1, m1 = step1(params, bn_state, opt_state, imgs, labels, key,
+                            alpha, lr)
+
+    # 8-way data-parallel
+    mesh = make_mesh(8)
+    stepN = make_dp_ae_train_step(mesh, MODEL_CFG, DATA_CFG, donate=False)
+    imgs_sh, labels_sh = shard_batch(mesh, imgs, labels)
+    pN, bnN, oN, mN = stepN(params, bn_state, opt_state, imgs_sh, labels_sh,
+                            key, alpha, lr)
+
+    # Adam's first step is ~lr*sign(g), so reduction-order float noise in the
+    # sharded grads can move a near-zero-grad param by up to 2*lr; bound the
+    # param check by the step size (a real sharding bug — e.g. per-replica
+    # instead of global grads — shows up at O(1) relative error).
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(pN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2.1e-3)
+    # BN running stats equal => batch statistics were global, not per-replica
+    for a, b in zip(jax.tree_util.tree_leaves(bn1),
+                    jax.tree_util.tree_leaves(bnN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+
+
+def test_dp_eval_and_encode_match():
+    params, bn_state, _, imgs, labels = _setup()
+    alpha = jnp.asarray(35.0)
+    ev1 = make_ae_eval_step(MODEL_CFG)
+    m1 = ev1(params, bn_state, imgs, labels, alpha)
+
+    mesh = make_mesh(8)
+    evN = make_dp_ae_eval_step(mesh, MODEL_CFG)
+    imgs_sh, labels_sh = shard_batch(mesh, imgs, labels)
+    mN = evN(params, bn_state, imgs_sh, labels_sh, alpha)
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]), rtol=1e-5)
+
+    encN = make_dp_encode_step(mesh, MODEL_CFG)
+    z = encN(params["encoder"], bn_state["encoder"], imgs_sh)
+    from satae.train.extract import make_encode_step
+    z1 = make_encode_step(MODEL_CFG)(params["encoder"], bn_state["encoder"],
+                                     imgs)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z1), atol=1e-5)
+
+
+def test_dp_multiple_steps_run():
+    """Run a few sharded optimizer steps end to end (compile + execute)."""
+    params, bn_state, opt_state, imgs, labels = _setup()
+    mesh = make_mesh(8)
+    stepN = make_dp_ae_train_step(mesh, MODEL_CFG, DATA_CFG, donate=True)
+    imgs_sh, labels_sh = shard_batch(mesh, imgs, labels)
+    alpha, lr = jnp.asarray(35.0), jnp.asarray(1e-3)
+    losses = []
+    for i in range(3):
+        key = jax.random.PRNGKey(i)
+        params, bn_state, opt_state, m = stepN(
+            params, bn_state, opt_state, imgs_sh, labels_sh, key, alpha, lr)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch thrice -> loss must drop
