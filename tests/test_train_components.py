@@ -78,6 +78,23 @@ def test_augment_semantics():
     assert np.std(resid) == pytest.approx(0.03, rel=0.05)
 
 
+def test_flip_crop_select_matches_numpy():
+    """The MXU selection-matmul crop must equal literal flip+pad+crop."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, (6, 8, 8, 3)).astype(np.float32)
+    flip = rng.integers(0, 2, (6, 1)).astype(bool)
+    offsets = rng.integers(0, 9, (6, 2))
+    p = 4
+    out = augment.flip_crop_select(jnp.asarray(x), jnp.asarray(flip),
+                                   jnp.asarray(offsets), p)
+    for i in range(6):
+        img = x[i, :, ::-1, :] if flip[i, 0] else x[i]
+        padded = np.pad(img, ((p, p), (p, p), (0, 0)))
+        oy, ox = offsets[i]
+        ref = padded[oy:oy + 8, ox:ox + 8]
+        np.testing.assert_array_equal(np.asarray(out[i]), ref)
+
+
 def test_normalize_matches_totensor():
     imgs = np.arange(0, 256, dtype=np.uint8).reshape(1, 16, 16, 1)
     out = augment.normalize(jnp.asarray(imgs))
