@@ -74,10 +74,17 @@ class SatAEPipeline:
         dtype = cfg.compute_dtype
 
         if grid:
-            sweep = ae_grid_search(
-                splits.train, splits.val, model_cfg=cfg.model,
-                data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
-                out_dir=out_dir, compute_dtype=dtype, log=log)
+            if cfg.runtime.parallel_configs:
+                from satae.train.vmap_sweep import ae_vmap_grid_search
+                sweep = ae_vmap_grid_search(
+                    splits.train, splits.val, model_cfg=cfg.model,
+                    data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
+                    out_dir=out_dir, compute_dtype=dtype, log=log)
+            else:
+                sweep = ae_grid_search(
+                    splits.train, splits.val, model_cfg=cfg.model,
+                    data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
+                    out_dir=out_dir, compute_dtype=dtype, log=log)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
         else:
             ae_res = train_supervised_ae(
@@ -97,10 +104,17 @@ class SatAEPipeline:
                                     cfg.data.batch_size)
 
         if grid:
-            msweep = mlp_grid_search(
-                Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
-                batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
-                out_dir=out_dir, log=log)
+            if cfg.runtime.parallel_configs:
+                from satae.train.vmap_sweep import mlp_vmap_grid_search
+                msweep = mlp_vmap_grid_search(
+                    Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
+                    batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
+                    out_dir=out_dir, log=log)
+            else:
+                msweep = mlp_grid_search(
+                    Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
+                    batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
+                    out_dir=out_dir, log=log)
             mlp_res, mlp_hp = msweep.best, msweep.best_hparams
         else:
             mlp_res = train_mlp(

@@ -1,0 +1,139 @@
+"""HBM-resident dataset + whole-epoch scan programs.
+
+The entire EuroSAT working set (20k x 64x64x3 uint8 = 236 MB) fits in HBM
+with room to spare, so the TPU-native input pipeline is: upload once, and run
+each training epoch as ONE jit'd ``lax.scan`` over batch indices — per-step
+batch gather, augmentation, forward/backward, and Adam all inside a single
+device program. Host dispatch per epoch: 1 call (vs the reference's
+per-batch Python loop with a `.item()` sync every step, Report.md:635-657).
+
+Epoch accounting:
+  * train: full batches only (remainder dropped per epoch; the shuffled
+    remainder differs every epoch so all samples participate over time) —
+    metric sums are per-sample weighted like the reference's accounting.
+  * eval: the split is zero-padded to a batch multiple with zero-weight rows;
+    the scan returns exact weighted sums, so losses/accuracies are identical
+    to unpadded evaluation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from satae.config import DataConfig, ModelConfig
+from satae.data.augment import augment_train_batch, normalize
+from satae.data.pipeline import ArrayDataset
+from satae.models.supervised_ae import supervised_ae_apply
+from satae.train.losses import accuracy, cross_entropy, joint_ae_loss
+from satae.train.optim import adam_update
+
+
+def epoch_order(n: int, batch_size: int, seed: int, epoch: int) -> np.ndarray:
+    """Shuffled full-batch index matrix (n_steps, batch_size) for one epoch."""
+    perm = np.random.default_rng(seed + epoch).permutation(n)
+    n_steps = n // batch_size
+    return perm[: n_steps * batch_size].reshape(n_steps, batch_size)
+
+
+def padded_eval_batches(ds: ArrayDataset, batch_size: int
+                        ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(images (nb,B,H,W,C), labels (nb,B), weights (nb,B)) with zero-weight
+    padding rows so every batch is full."""
+    n = len(ds)
+    nb = -(-n // batch_size)
+    pad = nb * batch_size - n
+    images = np.concatenate(
+        [ds.images, np.zeros((pad,) + ds.images.shape[1:], ds.images.dtype)])
+    labels = np.concatenate([ds.labels, np.zeros((pad,), ds.labels.dtype)])
+    weights = np.concatenate([np.ones((n,), np.float32),
+                              np.zeros((pad,), np.float32)])
+    shape = (nb, batch_size)
+    return (images.reshape(shape + ds.images.shape[1:]),
+            labels.reshape(shape), weights.reshape(shape))
+
+
+# ---------------------------------------------------------------------------
+# Supervised AE: one-epoch train scan and eval scan (single-config bodies;
+# vmap_sweep vmaps them over a config axis).
+# ---------------------------------------------------------------------------
+
+def ae_train_epoch_body(model_cfg: ModelConfig, data_cfg: DataConfig,
+                        compute_dtype=jnp.float32):
+    """Returns epoch_fn(params, bn, opt, images, labels, order, key, alpha,
+    lr) -> (params, bn, opt, metric_sums) where metric_sums are per-sample
+    weighted sums over the epoch (divide by order.size on the host)."""
+
+    def step(carry, batch_idx, images, labels, key, alpha, lr):
+        params, bn_state, opt_state, msum = carry
+        imgs_u8 = jnp.take(images, batch_idx, axis=0)
+        labs = jnp.take(labels, batch_idx, axis=0)
+        step_key = jax.random.fold_in(key, batch_idx[0])
+        imgs = augment_train_batch(
+            step_key, imgs_u8, crop_padding=data_cfg.crop_padding,
+            noise_std=data_cfg.noise_std, dtype=compute_dtype)
+
+        def loss_fn(p):
+            (x_hat, logits, _z), new_bn = supervised_ae_apply(
+                p, bn_state, imgs, train=True, cfg=model_cfg)
+            total, mse, ce = joint_ae_loss(x_hat, logits, imgs, labs, alpha)
+            return total, (new_bn, mse, ce, logits)
+
+        (loss, (new_bn, mse, ce, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state = adam_update(params, grads, opt_state, lr)
+        b = imgs.shape[0]
+        msum = {"loss": msum["loss"] + loss * b, "mse": msum["mse"] + mse * b,
+                "ce": msum["ce"] + ce * b,
+                "acc": msum["acc"] + accuracy(logits, labs) * b}
+        return (params, new_bn, opt_state, msum), None
+
+    def epoch_fn(params, bn_state, opt_state, images, labels, order, key,
+                 alpha, lr):
+        zeros = jnp.zeros((), jnp.float32)
+        msum = {"loss": zeros, "mse": zeros, "ce": zeros, "acc": zeros}
+        (params, bn_state, opt_state, msum), _ = lax.scan(
+            lambda c, idx: step(c, idx, images, labels, key, alpha, lr),
+            (params, bn_state, opt_state, msum), order)
+        return params, bn_state, opt_state, msum
+
+    return epoch_fn
+
+
+def ae_eval_body(model_cfg: ModelConfig, compute_dtype=jnp.float32):
+    """Returns eval_fn(params, bn, images (nb,B,...), labels (nb,B),
+    weights (nb,B), alpha) -> weighted metric sums (divide by weights.sum())."""
+
+    def batch_metrics(carry, batch, params, bn_state, alpha):
+        imgs_u8, labs, wts = batch
+        imgs = normalize(imgs_u8, compute_dtype)
+        (x_hat, logits, _z), _ = supervised_ae_apply(
+            params, bn_state, imgs, train=False, cfg=model_cfg)
+        w = wts[:, None, None, None]
+        nw = jnp.sum(wts)
+        # weighted MSE/CE that ignore padding rows
+        se = jnp.sum(((x_hat - imgs) ** 2) * w) / x_hat[0].size
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, labs[:, None], axis=-1)[:, 0]
+        ce = jnp.sum((logz - tl) * wts)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labs) * wts)
+        msum = carry
+        msum = {"loss": msum["loss"] + alpha * se + ce,
+                "mse": msum["mse"] + se, "ce": msum["ce"] + ce,
+                "acc": msum["acc"] + correct, "n": msum["n"] + nw}
+        return msum, None
+
+    def eval_fn(params, bn_state, images, labels, weights, alpha):
+        zeros = jnp.zeros((), jnp.float32)
+        msum = {"loss": zeros, "mse": zeros, "ce": zeros, "acc": zeros,
+                "n": zeros}
+        msum, _ = lax.scan(
+            lambda c, b: batch_metrics(c, b, params, bn_state, alpha),
+            msum, (images, labels, weights))
+        return msum
+
+    return eval_fn

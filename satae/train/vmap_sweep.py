@@ -1,0 +1,286 @@
+"""Vmapped hyperparameter sweeps: train EVERY grid config simultaneously.
+
+The reference runs its 45 (alpha, lr) configs sequentially, each a full
+training (SURVEY.md §3.3, "embarrassingly parallel across configs"). On TPU
+the natural formulation is a config axis: parameters, optimizer state, BN
+state, alpha and lr all carry a leading (n_configs,) dimension, the model is
+``jax.vmap``-ed over it, and one scan-epoch program (satae.train.hbm) trains
+all configs at once against the shared HBM-resident dataset. A 45-config
+sweep costs one large fused step per batch instead of 45 separate trainings.
+
+Early stopping stays per-config on the host (patience 15 on best val loss,
+Report.md:690-697): a config whose patience is exhausted keeps computing
+(vmap is SPMD) but its metrics stop counting; the sweep ends when every
+config has stopped or max_epochs is reached. Selection semantics (best val
+loss, true best-epoch snapshot of the global best) match the sequential path.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satae.config import AETrainConfig, DataConfig, MLPTrainConfig, ModelConfig
+from satae.data.pipeline import ArrayDataset
+from satae.io.checkpoint import GridResultStore, save_model
+from satae.models.mlp import mlp_apply, mlp_init
+from satae.models.supervised_ae import supervised_ae_init
+from satae.train import hbm
+from satae.train.gridsearch import SweepResult
+from satae.train.loop import LogFn, TrainResult
+from satae.train.losses import accuracy, cross_entropy
+from satae.train.optim import adam_init, adam_update
+
+
+def _slice_tree(tree: Any, i: int) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
+
+
+def ae_vmap_grid_search(
+    train_ds: ArrayDataset,
+    val_ds: ArrayDataset,
+    *,
+    model_cfg: ModelConfig,
+    data_cfg: DataConfig,
+    ae_cfg: AETrainConfig,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    log: Optional[LogFn] = None,
+) -> SweepResult:
+    alphas = np.array([a for a in ae_cfg.alphas
+                       for _ in ae_cfg.learning_rates], np.float32)
+    lrs = np.array([lr for _ in ae_cfg.alphas
+                    for lr in ae_cfg.learning_rates], np.float32)
+    n_cfg = len(alphas)
+
+    # fresh per-config inits (the reference re-inits per config, Report.md:619)
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_cfg)
+    vparams, vbn = jax.vmap(
+        lambda k: supervised_ae_init(k, model_cfg, in_ch=data_cfg.channels,
+                                     image_size=data_cfg.image_size))(keys)
+    vopt = adam_init(vparams)
+    vopt["step"] = jnp.zeros((n_cfg,), jnp.int32)  # per-config step counter
+
+    epoch_fn = hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype)
+    vepoch = jax.jit(
+        jax.vmap(epoch_fn, in_axes=(0, 0, 0, None, None, None, 0, 0, 0)),
+        donate_argnums=(0, 1, 2))
+    eval_fn = hbm.ae_eval_body(model_cfg, compute_dtype)
+    veval = jax.jit(jax.vmap(eval_fn, in_axes=(0, 0, None, None, None, 0)))
+
+    images = jax.device_put(train_ds.images)
+    labels = jax.device_put(train_ds.labels)
+    val_imgs, val_labs, val_wts = hbm.padded_eval_batches(
+        val_ds, data_cfg.batch_size)
+    val_imgs = jax.device_put(val_imgs)
+    val_labs = jax.device_put(val_labs)
+    val_wts = jax.device_put(val_wts)
+
+    alphas_d = jnp.asarray(alphas)
+    lrs_d = jnp.asarray(lrs)
+    cfg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.PRNGKey(seed + 1), jnp.arange(n_cfg))
+
+    best_val = np.full((n_cfg,), np.inf, np.float64)
+    best_acc = np.zeros((n_cfg,), np.float64)
+    best_epoch = np.full((n_cfg,), -1, np.int64)
+    bad_epochs = np.zeros((n_cfg,), np.int64)
+    active = np.ones((n_cfg,), bool)
+    stopped_at = np.full((n_cfg,), ae_cfg.max_epochs, np.int64)
+    global_best = np.inf
+    global_best_idx = -1
+    best_snapshot = None
+
+    for epoch in range(ae_cfg.max_epochs):
+        order = jnp.asarray(hbm.epoch_order(
+            len(train_ds), data_cfg.batch_size, seed, epoch))
+        ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
+                                                                epoch)
+        vparams, vbn, vopt, _tsum = vepoch(
+            vparams, vbn, vopt, images, labels, order, ekeys, alphas_d, lrs_d)
+        vsum = veval(vparams, vbn, val_imgs, val_labs, val_wts, alphas_d)
+        vsum = jax.device_get(vsum)
+        val_loss = vsum["loss"] / vsum["n"]
+        val_acc = vsum["acc"] / vsum["n"]
+
+        improved = active & (val_loss < best_val)
+        best_val = np.where(improved, val_loss, best_val)
+        best_acc = np.where(improved, val_acc, best_acc)
+        best_epoch = np.where(improved, epoch, best_epoch)
+        bad_epochs = np.where(improved, 0, bad_epochs + 1)
+        newly_stopped = active & (bad_epochs >= ae_cfg.patience)
+        stopped_at = np.where(newly_stopped, epoch + 1, stopped_at)
+        active &= ~newly_stopped
+
+        # global-best snapshot (true best-epoch weights of the best config)
+        epoch_best = int(np.argmin(np.where(improved, val_loss, np.inf)))
+        if improved.any() and val_loss[epoch_best] < global_best:
+            global_best = float(val_loss[epoch_best])
+            global_best_idx = epoch_best
+            best_snapshot = (_slice_tree(vparams, epoch_best),
+                             _slice_tree(vbn, epoch_best))
+        if log:
+            log(f"epoch {epoch:3d}: active={int(active.sum())}/{n_cfg} "
+                f"global_best={global_best:.4f} "
+                f"(alpha={alphas[global_best_idx]}, lr={lrs[global_best_idx]})")
+        if not active.any():
+            break
+
+    results: Dict[str, Dict[str, float]] = {}
+    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
+        if out_dir else None
+    for i in range(n_cfg):
+        key = GridResultStore.key(alpha=float(alphas[i]), lr=float(lrs[i]))
+        summary = {"alpha": float(alphas[i]), "lr": float(lrs[i]),
+                   "best_val_loss": float(best_val[i]),
+                   "best_val_acc": float(best_acc[i]),
+                   "best_epoch": int(best_epoch[i]),
+                   "epochs_run": int(min(stopped_at[i], epoch + 1))}
+        results[key] = summary
+        if store is not None:
+            store.record(key, summary)
+
+    assert best_snapshot is not None
+    params, bn_state = best_snapshot
+    best_hp = {"alpha": float(alphas[global_best_idx]),
+               "lr": float(lrs[global_best_idx])}
+    if out_dir:
+        save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
+                   meta={**best_hp, "best_val_loss": global_best})
+    best = TrainResult(params, bn_state, global_best,
+                       float(best_acc[global_best_idx]),
+                       int(best_epoch[global_best_idx]), epoch + 1, {})
+    return SweepResult(best, best_hp, results)
+
+
+# ---------------------------------------------------------------------------
+# MLP sweep (11 lrs, fixed 30 epochs, best by val accuracy)
+# ---------------------------------------------------------------------------
+
+def mlp_vmap_grid_search(
+    train_x: np.ndarray, train_y: np.ndarray,
+    val_x: np.ndarray, val_y: np.ndarray,
+    *,
+    model_cfg: ModelConfig,
+    mlp_cfg: MLPTrainConfig,
+    batch_size: int = 64,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    log: Optional[LogFn] = None,
+) -> SweepResult:
+    lrs = np.asarray(mlp_cfg.learning_rates, np.float32)
+    n_cfg = len(lrs)
+    input_dim = train_x.shape[-1]
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_cfg)
+    vparams, vbn = jax.vmap(
+        lambda k: mlp_init(k, model_cfg, input_dim=input_dim))(keys)
+    vopt = adam_init(vparams)
+    vopt["step"] = jnp.zeros((n_cfg,), jnp.int32)  # per-config step counter
+
+    def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr):
+        def step(carry, batch_idx):
+            params, bn_state, opt_state = carry
+            xb = jnp.take(xs, batch_idx, axis=0)
+            yb = jnp.take(ys, batch_idx, axis=0)
+            dkey = jax.random.fold_in(key, batch_idx[0])
+
+            def loss_fn(p):
+                logits, new_bn = mlp_apply(p, bn_state, xb, train=True,
+                                           cfg=model_cfg, dropout_key=dkey)
+                return cross_entropy(logits, yb), new_bn
+
+            (loss, new_bn), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state = adam_update(params, grads, opt_state, lr,
+                                            weight_decay=mlp_cfg.weight_decay)
+            return (params, new_bn, opt_state), None
+
+        (params, bn_state, opt_state), _ = jax.lax.scan(
+            step, (params, bn_state, opt_state), order)
+        return params, bn_state, opt_state
+
+    def eval_fn(params, bn_state, xs, ys, wts):
+        def body(carry, batch):
+            xb, yb, wb = batch
+            logits, _ = mlp_apply(params, bn_state, xb, train=False,
+                                  cfg=model_cfg)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            tl = jnp.take_along_axis(logits, yb[:, None], axis=-1)[:, 0]
+            ce = jnp.sum((logz - tl) * wb)
+            correct = jnp.sum((jnp.argmax(logits, -1) == yb) * wb)
+            return {"loss": carry["loss"] + ce,
+                    "acc": carry["acc"] + correct,
+                    "n": carry["n"] + jnp.sum(wb)}, None
+
+        zeros = jnp.zeros((), jnp.float32)
+        out, _ = jax.lax.scan(body, {"loss": zeros, "acc": zeros, "n": zeros},
+                              (xs, ys, wts))
+        return out
+
+    vepoch = jax.jit(jax.vmap(epoch_fn,
+                              in_axes=(0, 0, 0, None, None, None, 0, 0)),
+                     donate_argnums=(0, 1, 2))
+    veval = jax.jit(jax.vmap(eval_fn, in_axes=(0, 0, None, None, None)))
+
+    xs = jax.device_put(np.asarray(train_x, np.float32))
+    ys = jax.device_put(np.asarray(train_y, np.int32))
+    val = ArrayDataset(np.asarray(val_x, np.float32),
+                       np.asarray(val_y, np.int32))
+    vx, vy, vw = hbm.padded_eval_batches(val, batch_size)
+    vx, vy, vw = jax.device_put(vx), jax.device_put(vy), jax.device_put(vw)
+
+    lrs_d = jnp.asarray(lrs)
+    cfg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.PRNGKey(seed + 1), jnp.arange(n_cfg))
+
+    best_acc = np.full((n_cfg,), -1.0)
+    best_loss = np.full((n_cfg,), np.inf)
+    best_epoch = np.full((n_cfg,), -1, np.int64)
+    snapshots: Dict[int, Any] = {}
+
+    for epoch in range(mlp_cfg.epochs):
+        order = jnp.asarray(hbm.epoch_order(len(ys), batch_size, seed, epoch))
+        ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
+                                                                epoch)
+        vparams, vbn, vopt = vepoch(vparams, vbn, vopt, xs, ys, order, ekeys,
+                                    lrs_d)
+        m = jax.device_get(veval(vparams, vbn, vx, vy, vw))
+        val_acc = m["acc"] / m["n"]
+        val_loss = m["loss"] / m["n"]
+        for i in np.flatnonzero(val_acc > best_acc):
+            best_acc[i] = val_acc[i]
+            best_loss[i] = val_loss[i]
+            best_epoch[i] = epoch
+            snapshots[i] = (_slice_tree(vparams, i), _slice_tree(vbn, i))
+        if log:
+            log(f"epoch {epoch:3d}: best_val_acc={best_acc.max():.4f} "
+                f"(lr={lrs[int(np.argmax(best_acc))]})")
+
+    gi = int(np.argmax(best_acc))
+    results: Dict[str, Dict[str, float]] = {}
+    store = GridResultStore(Path(out_dir) / "mlp_results.json") \
+        if out_dir else None
+    for i in range(n_cfg):
+        key = GridResultStore.key(lr=float(lrs[i]))
+        summary = {"lr": float(lrs[i]), "best_val_acc": float(best_acc[i]),
+                   "best_val_loss": float(best_loss[i]),
+                   "best_epoch": int(best_epoch[i])}
+        results[key] = summary
+        if store is not None:
+            store.record(key, summary)
+
+    params, bn_state = snapshots[gi]
+    best_hp = {"lr": float(lrs[gi])}
+    if out_dir:
+        save_model(Path(out_dir) / "mlp_global_best.msgpack", params,
+                   bn_state, meta={**best_hp, "best_val_acc": float(best_acc[gi])})
+    best = TrainResult(params, bn_state, float(best_loss[gi]),
+                       float(best_acc[gi]), int(best_epoch[gi]),
+                       mlp_cfg.epochs, {})
+    return SweepResult(best, best_hp, results)
