@@ -1,0 +1,67 @@
+"""Full-scale end-to-end pipeline run + timing (BASELINE.json configs 2-5).
+
+Runs the complete reference workload at reference scale (20k images, 45-config
+AE grid with early stopping, latent extraction, 11-lr MLP grid, test
+evaluation) and records wall-clock per stage. With --parallel (default) the
+sweeps are vmapped (all configs at once); --sequential uses the
+parity-faithful per-config path.
+
+Usage: python benchmarks/full_pipeline.py [--sequential] [--per-class N]
+                                          [--out DIR] [--data ROOT]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sequential", action="store_true")
+    ap.add_argument("--per-class", type=int, default=2000)
+    ap.add_argument("--out", default="benchmarks/full_run")
+    ap.add_argument("--data", default=None,
+                    help="EuroSAT root dir (default: synthetic stand-in)")
+    args = ap.parse_args()
+
+    import jax
+
+    from satae.api import SatAEPipeline
+    from satae.config import DataConfig, PipelineConfig, RuntimeConfig
+
+    cfg = PipelineConfig(
+        data=DataConfig(root=args.data, per_class=args.per_class),
+        runtime=RuntimeConfig(parallel_configs=not args.sequential),
+    )
+    pipe = SatAEPipeline(cfg)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+          flush=True)
+    t0 = time.perf_counter()
+    summary = pipe.fit(grid=True, out_dir=args.out,
+                       log=lambda s: print(s, flush=True))
+    wall = time.perf_counter() - t0
+
+    result = {
+        "wall_seconds": round(wall, 1),
+        "parallel_configs": not args.sequential,
+        "per_class": args.per_class,
+        "data": args.data or "synthetic",
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        **dataclasses.asdict(summary),
+    }
+    Path(args.out).mkdir(parents=True, exist_ok=True)
+    Path(args.out, "timing.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

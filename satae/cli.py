@@ -1,0 +1,144 @@
+"""Command-line interface: the notebook's stages as subcommands.
+
+  python -m satae.cli fit        — full pipeline (AE [grid] -> latents -> MLP
+                                   [grid] -> test evaluation + artifacts)
+  python -m satae.cli calibrate  — CE/MSE loss-scale experiment (reference C14)
+  python -m satae.cli evaluate   — load checkpoints, evaluate a split,
+                                   print the classification report
+  python -m satae.cli report     — regenerate figures from saved artifacts
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+
+
+def _config_from_args(args) -> "PipelineConfig":
+    from satae.config import DataConfig, PipelineConfig, RuntimeConfig
+
+    return PipelineConfig(
+        data=DataConfig(root=args.data, per_class=args.per_class,
+                        cache_dir=args.cache_dir),
+        runtime=RuntimeConfig(seed=args.seed,
+                              parallel_configs=args.parallel),
+    )
+
+
+def cmd_fit(args) -> None:
+    from satae.api import SatAEPipeline
+    from satae.eval import plots
+    from satae.utils.logging import MetricsLogger
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg)
+    log = MetricsLogger(Path(args.out) / "metrics.jsonl")
+    summary = pipe.fit(grid=args.grid, out_dir=args.out, log=log)
+    print(json.dumps(dataclasses.asdict(summary), indent=2))
+
+    results_file = Path(args.out) / "validation_losses.json"
+    if results_file.exists():
+        plots.gridsearch_heatmap(json.loads(results_file.read_text()),
+                                 Path(args.out) / "gridsearch_heatmap.png")
+
+
+def cmd_calibrate(args) -> None:
+    from satae.config import DataConfig
+    from satae.data.ingest import load_dataset
+    from satae.data.pipeline import iter_batches, make_splits
+    from satae.eval import plots
+    from satae.train.calibrate import CalibrationSummary, loss_ratio_calibration
+
+    data_cfg = DataConfig(root=args.data, per_class=args.per_class,
+                          cache_dir=args.cache_dir)
+    raw = load_dataset(data_cfg)
+    splits = make_splits(raw, data_cfg)
+    imgs, labels = next(iter_batches(splits.train, data_cfg.batch_size,
+                                     shuffle=True, seed=args.seed))
+    ratios = loss_ratio_calibration(imgs, labels, n_inits=args.n_inits,
+                                    seed=args.seed)
+    summary = CalibrationSummary.from_ratios(ratios)
+    print(json.dumps(dataclasses.asdict(summary), indent=2))
+    if args.out:
+        Path(args.out).mkdir(parents=True, exist_ok=True)
+        plots.ratio_histogram(ratios, Path(args.out) / "ratio_histogram.png")
+        (Path(args.out) / "calibration.json").write_text(
+            json.dumps(dataclasses.asdict(summary), indent=2))
+
+
+def cmd_evaluate(args) -> None:
+    from satae.api import SatAEPipeline
+    from satae.data.ingest import load_dataset
+    from satae.data.pipeline import make_splits
+    from satae.eval import plots
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg).load(args.out)
+    raw = load_dataset(cfg.data)
+    splits = make_splits(raw, cfg.data)
+    pipe.classes = pipe.classes or splits.classes
+    ds = getattr(splits, args.split)
+    result = pipe.evaluate(ds)
+    print(result["report"])
+    print(f"\naccuracy: {result['accuracy']:.4f}")
+    plots.confusion_display(result["confusion_matrix"],
+                            pipe.classes or [str(i) for i in range(10)],
+                            Path(args.out) / f"confusion_{args.split}.png")
+
+
+def cmd_report(args) -> None:
+    from satae.eval import plots
+
+    out = Path(args.out)
+    results_file = out / "validation_losses.json"
+    if results_file.exists():
+        p = plots.gridsearch_heatmap(json.loads(results_file.read_text()),
+                                     out / "gridsearch_heatmap.png")
+        print(f"wrote {p}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="satae")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--data", default=None, help="EuroSAT root directory")
+        p.add_argument("--cache-dir", default=".satae_cache")
+        p.add_argument("--per-class", type=int, default=2000)
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--out", default="runs/default")
+        p.add_argument("--parallel", action="store_true",
+                       help="vmapped grid sweeps (all configs at once)")
+
+    p_fit = sub.add_parser("fit", help="run the full pipeline")
+    common(p_fit)
+    p_fit.add_argument("--grid", action="store_true",
+                       help="full 45-config AE grid + 11-lr MLP grid")
+    p_fit.set_defaults(fn=cmd_fit)
+
+    p_cal = sub.add_parser("calibrate", help="CE/MSE loss-scale experiment")
+    common(p_cal)
+    p_cal.add_argument("--n-inits", type=int, default=1000)
+    p_cal.set_defaults(fn=cmd_calibrate)
+
+    p_eval = sub.add_parser("evaluate", help="evaluate saved checkpoints")
+    common(p_eval)
+    p_eval.add_argument("--split", choices=("train", "val", "test"),
+                        default="test")
+    p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_rep = sub.add_parser("report", help="regenerate figures from artifacts")
+    common(p_rep)
+    p_rep.set_defaults(fn=cmd_report)
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

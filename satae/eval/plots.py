@@ -1,0 +1,141 @@
+"""Matplotlib figures matching the reference notebook's outputs.
+
+One function per reference figure (all saved, never shown — headless Agg):
+  class_distribution  — bar chart of per-class counts (Report.md:51-57)
+  sample_grid         — 3x3 random images with class titles (Report.md:114-126)
+  ratio_histogram     — CE/MSE init-ratio histogram (Report.md:520-525)
+  gridsearch_heatmap  — alpha x lr val-loss heatmap (Report.md:2429-2438)
+  loss_curves         — train/val loss curves (Report.md:2461-2469)
+  accuracy_curves     — MLP train/val accuracy curves (Report.md:2706-2722)
+  confusion_display   — confusion-matrix heatmap (Report.md:3191-3195)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _save(fig, path: str | Path) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def class_distribution(labels: np.ndarray, classes: Sequence[str],
+                       path: str | Path) -> Path:
+    counts = np.bincount(np.asarray(labels), minlength=len(classes))
+    fig, ax = plt.subplots(figsize=(10, 4))
+    ax.bar(range(len(classes)), counts)
+    ax.set_xticks(range(len(classes)))
+    ax.set_xticklabels(classes, rotation=45, ha="right")
+    ax.set_ylabel("images")
+    ax.set_title("Class distribution")
+    return _save(fig, path)
+
+
+def sample_grid(images: np.ndarray, labels: np.ndarray,
+                classes: Sequence[str], path: str | Path,
+                seed: int = 0) -> Path:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(images), size=9, replace=False)
+    fig, axes = plt.subplots(3, 3, figsize=(7, 7))
+    for ax, i in zip(axes.flat, idx):
+        ax.imshow(images[i])
+        ax.set_title(classes[int(labels[i])], fontsize=9)
+        ax.axis("off")
+    return _save(fig, path)
+
+
+def ratio_histogram(ratios: np.ndarray, path: str | Path) -> Path:
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.hist(np.asarray(ratios), bins=40)
+    ax.set_xlabel("CE / MSE at init")
+    ax.set_ylabel("count")
+    ax.set_title(f"Loss-scale calibration (median {np.median(ratios):.1f})")
+    return _save(fig, path)
+
+
+def gridsearch_heatmap(results: Dict[str, Dict[str, float]],
+                       path: str | Path) -> Path:
+    """results: the GridResultStore dict {key: {alpha, lr, best_val_loss}}."""
+    entries = list(results.values())
+    alphas = sorted({e["alpha"] for e in entries})
+    lrs = sorted({e["lr"] for e in entries})
+    mat = np.full((len(alphas), len(lrs)), np.nan)
+    for e in entries:
+        mat[alphas.index(e["alpha"]), lrs.index(e["lr"])] = e["best_val_loss"]
+    fig, ax = plt.subplots(figsize=(1.2 * len(lrs) + 2, 1.0 * len(alphas) + 2))
+    im = ax.imshow(mat, cmap="viridis")
+    ax.set_xticks(range(len(lrs)))
+    ax.set_xticklabels([f"{lr:g}" for lr in lrs], rotation=45)
+    ax.set_yticks(range(len(alphas)))
+    ax.set_yticklabels([f"{a:g}" for a in alphas])
+    ax.set_xlabel("learning rate")
+    ax.set_ylabel("alpha")
+    ax.set_title("Validation loss (alpha x lr grid)")
+    finite = np.isfinite(mat)
+    for i in range(len(alphas)):
+        for j in range(len(lrs)):
+            if finite[i, j]:
+                ax.text(j, i, f"{mat[i, j]:.3f}", ha="center", va="center",
+                        color="white", fontsize=7)
+    fig.colorbar(im, ax=ax)
+    return _save(fig, path)
+
+
+def loss_curves(history: Dict[str, list], path: str | Path,
+                title: str = "Training curves") -> Path:
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for k in ("train_loss", "val_loss"):
+        if history.get(k):
+            ax.plot(history[k], label=k)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.set_title(title)
+    ax.legend()
+    return _save(fig, path)
+
+
+def accuracy_curves(history: Dict[str, list], path: str | Path,
+                    title: str = "Accuracy curves") -> Path:
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for k in ("train_acc", "val_acc"):
+        if history.get(k):
+            ax.plot(history[k], label=k)
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("accuracy")
+    ax.set_title(title)
+    ax.legend()
+    return _save(fig, path)
+
+
+def confusion_display(cm: np.ndarray, classes: Sequence[str],
+                      path: str | Path) -> Path:
+    cm = np.asarray(cm)
+    fig, ax = plt.subplots(figsize=(8, 7))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(classes)))
+    ax.set_xticklabels(classes, rotation=45, ha="right")
+    ax.set_yticks(range(len(classes)))
+    ax.set_yticklabels(classes)
+    ax.set_xlabel("predicted")
+    ax.set_ylabel("true")
+    thresh = cm.max() / 2 if cm.max() else 0.5
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, str(int(cm[i, j])), ha="center", va="center",
+                    color="white" if cm[i, j] > thresh else "black",
+                    fontsize=8)
+    fig.colorbar(im, ax=ax)
+    ax.set_title("Confusion matrix")
+    return _save(fig, path)

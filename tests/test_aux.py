@@ -1,0 +1,84 @@
+"""Auxiliary subsystems: plots render, calibration experiment, metrics
+logger, CLI wiring, profiling stopwatch."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from satae.config import DataConfig, ModelConfig
+from satae.data.synthetic import make_synthetic_eurosat
+from satae.eval import plots
+from satae.train.calibrate import CalibrationSummary, loss_ratio_calibration
+from satae.utils.logging import MetricsLogger, read_jsonl
+from satae.utils.profiling import Stopwatch
+
+
+def test_all_plots_render(tmp_path):
+    imgs, labels, classes = make_synthetic_eurosat(per_class=5)
+    assert plots.class_distribution(labels, classes,
+                                    tmp_path / "dist.png").exists()
+    assert plots.sample_grid(imgs, labels, classes,
+                             tmp_path / "grid.png").exists()
+    assert plots.ratio_histogram(np.random.default_rng(0).normal(30, 3, 200),
+                                 tmp_path / "ratio.png").exists()
+    results = {f"{a}-{lr}": {"alpha": a, "lr": lr,
+                             "best_val_loss": a * lr}
+               for a in (20.0, 35.0) for lr in (1e-3, 1e-2)}
+    assert plots.gridsearch_heatmap(results, tmp_path / "hm.png").exists()
+    hist = {"train_loss": [3, 2, 1], "val_loss": [3.1, 2.2, 1.5],
+            "train_acc": [0.3, 0.5, 0.7], "val_acc": [0.25, 0.45, 0.6]}
+    assert plots.loss_curves(hist, tmp_path / "loss.png").exists()
+    assert plots.accuracy_curves(hist, tmp_path / "acc.png").exists()
+    cm = np.random.default_rng(0).integers(0, 50, (10, 10))
+    assert plots.confusion_display(cm, classes, tmp_path / "cm.png").exists()
+
+
+def test_calibration_ratio_scale():
+    """Golden-scale check (SURVEY.md §4): the CE/MSE init ratio on EuroSAT-
+    shaped data should land near the reference's ~30 (Report.md:534). The
+    exact value depends on pixel statistics; assert the right ballpark."""
+    imgs, labels, _ = make_synthetic_eurosat(per_class=7, seed=0)
+    ratios = loss_ratio_calibration(imgs[:64], labels[:64], n_inits=8,
+                                    chunk=4, seed=0)
+    assert ratios.shape == (8,)
+    assert np.all(np.isfinite(ratios))
+    s = CalibrationSummary.from_ratios(ratios)
+    assert 5 < s.median < 200
+    # CE at init must be ~ln(10): ratio = CE/MSE, so CE = ratio * MSE checks
+    # out only via the loss tests; here assert spread is modest
+    assert s.p95 / s.p5 < 10
+
+
+def test_metrics_logger(tmp_path):
+    path = tmp_path / "m.jsonl"
+    log = MetricsLogger(path, echo=False)
+    log.log({"epoch": 0, "loss": 1.5})
+    log({"epoch": 1, "loss": 1.2})
+    log("free-form message")
+    records = read_jsonl(path)
+    assert len(records) == 3
+    assert records[1]["loss"] == 1.2
+    assert records[2]["msg"] == "free-form message"
+
+
+def test_stopwatch():
+    sw = Stopwatch()
+    with sw.stage("a"):
+        sum(range(1000))
+    with sw.stage("a"):
+        pass
+    rep = sw.report()
+    assert "a" in rep and rep["a"] >= 0
+
+
+def test_cli_parser_wiring():
+    from satae.cli import build_parser
+    ap = build_parser()
+    args = ap.parse_args(["fit", "--grid", "--parallel", "--per-class", "10"])
+    assert args.grid and args.parallel and args.per_class == 10
+    args = ap.parse_args(["calibrate", "--n-inits", "16"])
+    assert args.n_inits == 16
+    args = ap.parse_args(["evaluate", "--split", "val"])
+    assert args.split == "val"
