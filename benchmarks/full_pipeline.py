@@ -2,11 +2,12 @@
 
 Runs the complete reference workload at reference scale (20k images, 45-config
 AE grid with early stopping, latent extraction, 11-lr MLP grid, test
-evaluation) and records wall-clock per stage. With --parallel (default) the
-sweeps are vmapped (all configs at once); --sequential uses the
-parity-faithful per-config path.
+evaluation) and records wall-clock per stage. Default engine: sequential
+configs with whole-epoch scan programs (measured fastest — see
+satae/train/fast_loop.py). --vmap switches to the vmapped all-configs-at-once
+sweep (slower for conv models; kept for comparison).
 
-Usage: python benchmarks/full_pipeline.py [--sequential] [--per-class N]
+Usage: python benchmarks/full_pipeline.py [--vmap] [--per-class N]
                                           [--out DIR] [--data ROOT]
 """
 
@@ -24,7 +25,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sequential", action="store_true")
+    ap.add_argument("--vmap", action="store_true",
+                    help="vmapped all-configs-at-once sweeps")
     ap.add_argument("--per-class", type=int, default=2000)
     ap.add_argument("--out", default="benchmarks/full_run")
     ap.add_argument("--data", default=None,
@@ -38,7 +40,7 @@ def main() -> None:
 
     cfg = PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class),
-        runtime=RuntimeConfig(parallel_configs=not args.sequential),
+        runtime=RuntimeConfig(parallel_configs=args.vmap),
     )
     pipe = SatAEPipeline(cfg)
 
@@ -52,7 +54,7 @@ def main() -> None:
 
     result = {
         "wall_seconds": round(wall, 1),
-        "parallel_configs": not args.sequential,
+        "parallel_configs": args.vmap,
         "per_class": args.per_class,
         "data": args.data or "synthetic",
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",

@@ -1,0 +1,263 @@
+"""Scan-epoch trainers: the fast path for full-scale training.
+
+Same contract as satae.train.loop (TrainResult, early stopping, true
+best-epoch snapshots) but each epoch is ONE device program over the
+HBM-resident dataset (satae.train.hbm): measured 0.16 s per 14k-image epoch
+on a v5e chip at the reference's batch 64 — the per-batch host loop in
+loop.py costs ~100x that in dispatch alone at this batch size.
+
+Why not the vmapped all-configs-at-once sweep (satae.train.vmap_sweep)?
+Measured head-to-head at reference scale: one vmapped 45-config epoch costs
+14.6 s vs 45 x 0.16 s = 7.2 s sequential — vmap over per-config conv weights
+lowers to grouped convolutions, which utilize the MXU poorly at these channel
+counts. Sequential scan-epochs win by ~2x and reuse ONE compilation across
+all configs (alpha/lr are traced), so the grid search runs sequential+scan by
+default; the vmapped path remains for cases where it wins (e.g. MLP sweeps,
+where there are no convs).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from satae.config import DataConfig, ModelConfig
+from satae.data.pipeline import ArrayDataset
+from satae.models.mlp import mlp_apply, mlp_init
+from satae.models.supervised_ae import supervised_ae_init
+from satae.train import hbm
+from satae.train.loop import LogFn, TrainResult
+from satae.train.losses import cross_entropy
+from satae.train.optim import adam_init, adam_update
+
+
+class AEScanEngine:
+    """Compiled scan-epoch train/eval programs, shared across grid configs."""
+
+    def __init__(self, model_cfg: ModelConfig, data_cfg: DataConfig,
+                 compute_dtype=jnp.float32):
+        self.model_cfg = model_cfg
+        self.data_cfg = data_cfg
+        self.compute_dtype = compute_dtype
+        self.train_epoch = jax.jit(
+            hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype),
+            donate_argnums=(0, 1, 2))
+        self.eval_sums = jax.jit(hbm.ae_eval_body(model_cfg, compute_dtype))
+
+
+def train_supervised_ae_scan(
+    train_ds: ArrayDataset,
+    val_ds: ArrayDataset,
+    *,
+    model_cfg: ModelConfig,
+    data_cfg: DataConfig,
+    alpha: float,
+    lr: float,
+    max_epochs: int = 80,
+    patience: int = 15,
+    seed: int = 0,
+    engine: Optional[AEScanEngine] = None,
+    log: Optional[LogFn] = None,
+    device_data=None,
+) -> TrainResult:
+    """Scan-epoch version of loop.train_supervised_ae (same selection
+    semantics). Pass ``engine`` and ``device_data`` (from
+    :func:`upload_ae_data`) to share compilations/uploads across configs."""
+    engine = engine or AEScanEngine(model_cfg, data_cfg)
+    if device_data is None:
+        device_data = upload_ae_data(train_ds, val_ds, data_cfg.batch_size)
+    images, labels, val_imgs, val_labs, val_wts = device_data
+
+    key = jax.random.PRNGKey(seed)
+    init_key, key = jax.random.split(key)
+    params, bn_state = supervised_ae_init(
+        init_key, model_cfg, in_ch=data_cfg.channels,
+        image_size=data_cfg.image_size)
+    opt_state = adam_init(params)
+    alpha_arr = jnp.asarray(alpha, jnp.float32)
+    lr_arr = jnp.asarray(lr, jnp.float32)
+
+    n_train_counted = (len(train_ds) // data_cfg.batch_size) * data_cfg.batch_size
+    history: Dict[str, List[float]] = {
+        "train_loss": [], "val_loss": [], "train_mse": [], "val_mse": [],
+        "train_ce": [], "val_ce": [], "train_acc": [], "val_acc": []}
+    best_val = float("inf")
+    best_val_acc = 0.0
+    best_epoch = -1
+    best_params = jax.device_get(params)
+    best_bn = jax.device_get(bn_state)
+    bad = 0
+    epoch = 0
+
+    for epoch in range(max_epochs):
+        order = jnp.asarray(hbm.epoch_order(
+            len(train_ds), data_cfg.batch_size, seed, epoch))
+        ekey = jax.random.fold_in(key, epoch)
+        params, bn_state, opt_state, tsum = engine.train_epoch(
+            params, bn_state, opt_state, images, labels, order, ekey,
+            alpha_arr, lr_arr)
+        vsum = engine.eval_sums(params, bn_state, val_imgs, val_labs,
+                                val_wts, alpha_arr)
+        tsum, vsum = jax.device_get((tsum, vsum))
+        nv = float(vsum["n"])
+        for k in ("loss", "mse", "ce", "acc"):
+            history[f"train_{k}"].append(float(tsum[k]) / n_train_counted)
+            history[f"val_{k}"].append(float(vsum[k]) / nv)
+        val_loss = history["val_loss"][-1]
+        if log:
+            log(f"epoch {epoch:3d}  train_loss={history['train_loss'][-1]:.4f} "
+                f"val_loss={val_loss:.4f} val_acc={history['val_acc'][-1]:.4f}")
+        if val_loss < best_val:
+            best_val = val_loss
+            best_val_acc = history["val_acc"][-1]
+            best_epoch = epoch
+            best_params = jax.device_get(params)
+            best_bn = jax.device_get(bn_state)
+            bad = 0
+        else:
+            bad += 1
+            if bad >= patience:
+                break
+
+    return TrainResult(best_params, best_bn, best_val, best_val_acc,
+                       best_epoch, epoch + 1, history)
+
+
+def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
+                   batch_size: int):
+    """Upload train arrays + padded val batches to HBM once per sweep."""
+    val_imgs, val_labs, val_wts = hbm.padded_eval_batches(val_ds, batch_size)
+    return (jax.device_put(train_ds.images), jax.device_put(train_ds.labels),
+            jax.device_put(val_imgs), jax.device_put(val_labs),
+            jax.device_put(val_wts))
+
+
+# ---------------------------------------------------------------------------
+# MLP scan trainer
+# ---------------------------------------------------------------------------
+
+class MLPScanEngine:
+    def __init__(self, model_cfg: ModelConfig, weight_decay: float):
+        self.model_cfg = model_cfg
+
+        def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr):
+            def step(carry, batch_idx):
+                params, bn_state, opt_state, msum = carry
+                xb = jnp.take(xs, batch_idx, axis=0)
+                yb = jnp.take(ys, batch_idx, axis=0)
+                dkey = jax.random.fold_in(key, batch_idx[0])
+
+                def loss_fn(p):
+                    logits, new_bn = mlp_apply(p, bn_state, xb, train=True,
+                                               cfg=model_cfg, dropout_key=dkey)
+                    return cross_entropy(logits, yb), (new_bn, logits)
+
+                (loss, (new_bn, logits)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                params, opt_state = adam_update(params, grads, opt_state, lr,
+                                                weight_decay=weight_decay)
+                b = xb.shape[0]
+                correct = jnp.sum(jnp.argmax(logits, -1) == yb)
+                msum = {"loss": msum["loss"] + loss * b,
+                        "acc": msum["acc"] + correct.astype(jnp.float32)}
+                return (params, new_bn, opt_state, msum), None
+
+            zeros = jnp.zeros((), jnp.float32)
+            (params, bn_state, opt_state, msum), _ = jax.lax.scan(
+                step, (params, bn_state, opt_state,
+                       {"loss": zeros, "acc": zeros}), order)
+            return params, bn_state, opt_state, msum
+
+        def eval_fn(params, bn_state, xs, ys, wts):
+            def body(carry, batch):
+                xb, yb, wb = batch
+                logits, _ = mlp_apply(params, bn_state, xb, train=False,
+                                      cfg=model_cfg)
+                logz = jax.nn.logsumexp(logits, axis=-1)
+                tl = jnp.take_along_axis(logits, yb[:, None], axis=-1)[:, 0]
+                return {"loss": carry["loss"] + jnp.sum((logz - tl) * wb),
+                        "acc": carry["acc"] +
+                        jnp.sum((jnp.argmax(logits, -1) == yb) * wb),
+                        "n": carry["n"] + jnp.sum(wb)}, None
+
+            zeros = jnp.zeros((), jnp.float32)
+            out, _ = jax.lax.scan(
+                body, {"loss": zeros, "acc": zeros, "n": zeros},
+                (xs, ys, wts))
+            return out
+
+        self.train_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+        self.eval_sums = jax.jit(eval_fn)
+
+
+def train_mlp_scan(
+    train_x: np.ndarray, train_y: np.ndarray,
+    val_x: np.ndarray, val_y: np.ndarray,
+    *,
+    model_cfg: ModelConfig,
+    lr: float,
+    weight_decay: float = 1e-4,
+    epochs: int = 30,
+    batch_size: int = 64,
+    seed: int = 0,
+    engine: Optional[MLPScanEngine] = None,
+    log: Optional[LogFn] = None,
+    device_data=None,
+) -> TrainResult:
+    engine = engine or MLPScanEngine(model_cfg, weight_decay)
+    if device_data is None:
+        device_data = upload_mlp_data(train_x, train_y, val_x, val_y,
+                                      batch_size)
+    xs, ys, vx, vy, vw = device_data
+
+    key = jax.random.PRNGKey(seed)
+    init_key, key = jax.random.split(key)
+    params, bn_state = mlp_init(init_key, model_cfg,
+                                input_dim=train_x.shape[-1])
+    opt_state = adam_init(params)
+    lr_arr = jnp.asarray(lr, jnp.float32)
+
+    n_counted = (len(train_y) // batch_size) * batch_size
+    history: Dict[str, List[float]] = {
+        "train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
+    best_acc, best_loss, best_epoch = -1.0, float("inf"), -1
+    best_params = jax.device_get(params)
+    best_bn = jax.device_get(bn_state)
+
+    for epoch in range(epochs):
+        order = jnp.asarray(hbm.epoch_order(len(train_y), batch_size, seed,
+                                            epoch))
+        ekey = jax.random.fold_in(key, epoch)
+        params, bn_state, opt_state, tsum = engine.train_epoch(
+            params, bn_state, opt_state, xs, ys, order, ekey, lr_arr)
+        vsum = jax.device_get(engine.eval_sums(params, bn_state, vx, vy, vw))
+        tsum = jax.device_get(tsum)
+        nv = float(vsum["n"])
+        history["train_loss"].append(float(tsum["loss"]) / n_counted)
+        history["train_acc"].append(float(tsum["acc"]) / n_counted)
+        history["val_loss"].append(float(vsum["loss"]) / nv)
+        history["val_acc"].append(float(vsum["acc"]) / nv)
+        if log:
+            log(f"epoch {epoch:3d}  train_acc={history['train_acc'][-1]:.4f} "
+                f"val_acc={history['val_acc'][-1]:.4f}")
+        if history["val_acc"][-1] > best_acc:
+            best_acc = history["val_acc"][-1]
+            best_loss = history["val_loss"][-1]
+            best_epoch = epoch
+            best_params = jax.device_get(params)
+            best_bn = jax.device_get(bn_state)
+
+    return TrainResult(best_params, best_bn, best_loss, best_acc, best_epoch,
+                       epochs, history)
+
+
+def upload_mlp_data(train_x, train_y, val_x, val_y, batch_size: int):
+    val = ArrayDataset(np.asarray(val_x, np.float32),
+                       np.asarray(val_y, np.int32))
+    vx, vy, vw = hbm.padded_eval_batches(val, batch_size)
+    return (jax.device_put(np.asarray(train_x, np.float32)),
+            jax.device_put(np.asarray(train_y, np.int32)),
+            jax.device_put(vx), jax.device_put(vy), jax.device_put(vw))

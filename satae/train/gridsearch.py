@@ -49,12 +49,27 @@ def ae_grid_search(
     out_dir: Optional[str] = None,
     compute_dtype=jnp.float32,
     log: Optional[LogFn] = None,
+    engine: str = "scan",
 ) -> SweepResult:
     """Sequential alpha x lr sweep with per-config result flushing and a
     global-best checkpoint (`ae_global_best.msgpack`, the reference's
-    AE_GLOBAL_BEST.pt)."""
-    train_step = S.make_ae_train_step(model_cfg, data_cfg, compute_dtype)
-    eval_step = S.make_ae_eval_step(model_cfg, compute_dtype)
+    AE_GLOBAL_BEST.pt).
+
+    engine="scan" (default): whole-epoch lax.scan programs over HBM-resident
+    data, one compilation shared by all 45 configs — the fast path (0.16
+    s/epoch at reference scale on a v5e). engine="steps": the per-batch host
+    loop (loop.py), useful for debugging and exact reference-style batch
+    accounting (keeps the epoch-remainder batch).
+    """
+    if engine == "scan":
+        from satae.train import fast_loop
+        scan_engine = fast_loop.AEScanEngine(model_cfg, data_cfg,
+                                             compute_dtype)
+        device_data = fast_loop.upload_ae_data(train_ds, val_ds,
+                                               data_cfg.batch_size)
+    else:
+        train_step = S.make_ae_train_step(model_cfg, data_cfg, compute_dtype)
+        eval_step = S.make_ae_eval_step(model_cfg, compute_dtype)
     store = GridResultStore(Path(out_dir) / "validation_losses.json") \
         if out_dir else None
 
@@ -69,12 +84,19 @@ def ae_grid_search(
                 if log:
                     log(f"skip cached alpha={alpha} lr={lr}")
                 continue
-            res = train_supervised_ae(
-                train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
-                alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
-                patience=ae_cfg.patience, seed=seed,
-                compute_dtype=compute_dtype,
-                train_step=train_step, eval_step=eval_step)
+            if engine == "scan":
+                res = fast_loop.train_supervised_ae_scan(
+                    train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
+                    alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
+                    patience=ae_cfg.patience, seed=seed, engine=scan_engine,
+                    device_data=device_data)
+            else:
+                res = train_supervised_ae(
+                    train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
+                    alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
+                    patience=ae_cfg.patience, seed=seed,
+                    compute_dtype=compute_dtype,
+                    train_step=train_step, eval_step=eval_step)
             summary = {"alpha": alpha, "lr": lr,
                        "best_val_loss": res.best_val_loss,
                        "best_val_acc": res.best_val_acc,
@@ -109,11 +131,18 @@ def mlp_grid_search(
     seed: int = 0,
     out_dir: Optional[str] = None,
     log: Optional[LogFn] = None,
+    engine: str = "scan",
 ) -> SweepResult:
     """11-point lr sweep over the latent MLP; global best by val accuracy
     (`mlp_global_best.msgpack`, the reference's MLP_GLOBAL_BEST.pt)."""
-    train_step = S.make_mlp_train_step(model_cfg)
-    eval_step = S.make_mlp_eval_step(model_cfg)
+    if engine == "scan":
+        from satae.train import fast_loop
+        scan_engine = fast_loop.MLPScanEngine(model_cfg, mlp_cfg.weight_decay)
+        device_data = fast_loop.upload_mlp_data(train_x, train_y, val_x,
+                                                val_y, batch_size)
+    else:
+        train_step = S.make_mlp_train_step(model_cfg)
+        eval_step = S.make_mlp_eval_step(model_cfg)
     store = GridResultStore(Path(out_dir) / "mlp_results.json") \
         if out_dir else None
 
@@ -121,10 +150,19 @@ def mlp_grid_search(
     best_hp: Dict[str, float] = {}
     results: Dict[str, Dict[str, float]] = {}
     for lr in mlp_cfg.learning_rates:
-        res = train_mlp(train_x, train_y, val_x, val_y, model_cfg=model_cfg,
-                        lr=lr, weight_decay=mlp_cfg.weight_decay,
-                        epochs=mlp_cfg.epochs, batch_size=batch_size,
-                        seed=seed, train_step=train_step, eval_step=eval_step)
+        if engine == "scan":
+            res = fast_loop.train_mlp_scan(
+                train_x, train_y, val_x, val_y, model_cfg=model_cfg, lr=lr,
+                weight_decay=mlp_cfg.weight_decay, epochs=mlp_cfg.epochs,
+                batch_size=batch_size, seed=seed, engine=scan_engine,
+                device_data=device_data)
+        else:
+            res = train_mlp(train_x, train_y, val_x, val_y,
+                            model_cfg=model_cfg,
+                            lr=lr, weight_decay=mlp_cfg.weight_decay,
+                            epochs=mlp_cfg.epochs, batch_size=batch_size,
+                            seed=seed, train_step=train_step,
+                            eval_step=eval_step)
         key = GridResultStore.key(lr=lr)
         summary = {"lr": lr, "best_val_acc": res.best_val_acc,
                    "best_val_loss": res.best_val_loss,
