@@ -87,11 +87,12 @@ class SatAEPipeline:
                     out_dir=out_dir, compute_dtype=dtype, log=log)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
         else:
-            ae_res = train_supervised_ae(
+            from satae.train.fast_loop import train_supervised_ae_scan
+            ae_res = train_supervised_ae_scan(
                 splits.train, splits.val, model_cfg=cfg.model,
                 data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
                 max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
-                seed=cfg.runtime.seed, compute_dtype=dtype, log=log)
+                seed=cfg.runtime.seed, log=log)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
 
@@ -117,7 +118,8 @@ class SatAEPipeline:
                     out_dir=out_dir, log=log)
             mlp_res, mlp_hp = msweep.best, msweep.best_hparams
         else:
-            mlp_res = train_mlp(
+            from satae.train.fast_loop import train_mlp_scan
+            mlp_res = train_mlp_scan(
                 Xtr, ytr, Xva, yva, model_cfg=cfg.model, lr=BEST_MLP_LR,
                 weight_decay=cfg.mlp.weight_decay, epochs=cfg.mlp.epochs,
                 batch_size=cfg.data.batch_size, seed=cfg.runtime.seed, log=log)

@@ -1,6 +1,7 @@
 from satae.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,
+    replicate,
     replicated_sharding,
     shard_batch,
 )

@@ -55,12 +55,18 @@ def _accumulate(sums: Dict[str, float], metrics: Dict[str, jax.Array],
 
 
 def run_eval(eval_step, params, bn_state, ds: ArrayDataset, batch_size: int,
-             extra_args: Tuple = ()) -> Dict[str, float]:
+             extra_args: Tuple = (), shard=None) -> Dict[str, float]:
     sums: Dict[str, float] = {}
+    n = 0
     for imgs, labels in iter_batches(ds, batch_size, shuffle=False):
+        if shard is not None:
+            imgs, labels = shard(imgs, labels)
+            if len(labels) == 0:
+                continue
         metrics = eval_step(params, bn_state, imgs, labels, *extra_args)
         _accumulate(sums, metrics, len(labels))
-    return _weighted_mean(sums, len(ds))
+        n += len(labels)
+    return _weighted_mean(sums, n)
 
 
 def train_supervised_ae(
@@ -78,11 +84,15 @@ def train_supervised_ae(
     log: Optional[LogFn] = None,
     train_step=None,
     eval_step=None,
+    mesh=None,
 ) -> TrainResult:
     """Train one (alpha, lr) supervised-AE config with early stopping.
 
     Pass prebuilt ``train_step``/``eval_step`` to share compilations across
-    grid-search configs (alpha/lr are traced scalars in the step).
+    grid-search configs (alpha/lr are traced scalars in the step). Pass
+    ``mesh`` (jax.sharding.Mesh) for data-parallel training: batches are
+    sharded on axis 0, params/optimizer replicated, gradient and BatchNorm
+    reductions become global via XLA collectives (satae.parallel.dp).
     """
     key = jax.random.PRNGKey(seed)
     init_key, key = jax.random.split(key)
@@ -90,6 +100,22 @@ def train_supervised_ae(
         init_key, model_cfg, in_ch=data_cfg.channels,
         image_size=data_cfg.image_size, dtype=jnp.float32)
     opt_state = adam_init(params)
+    shard = None
+    if mesh is not None:
+        from satae.parallel import replicate, shard_batch
+        from satae.parallel.dp import (make_dp_ae_eval_step,
+                                       make_dp_ae_train_step)
+        train_step = train_step or make_dp_ae_train_step(
+            mesh, model_cfg, data_cfg, compute_dtype)
+        eval_step = eval_step or make_dp_ae_eval_step(mesh, model_cfg,
+                                                      compute_dtype)
+        params = replicate(mesh, params)
+        bn_state = replicate(mesh, bn_state)
+        opt_state = replicate(mesh, opt_state)
+        n_dev = mesh.devices.size
+        shard = lambda imgs, labs: shard_batch(
+            mesh, imgs[: len(imgs) // n_dev * n_dev],
+            labs[: len(labs) // n_dev * n_dev])
     train_step = train_step or S.make_ae_train_step(
         model_cfg, data_cfg, compute_dtype)
     eval_step = eval_step or S.make_ae_eval_step(model_cfg, compute_dtype)
@@ -110,17 +136,23 @@ def train_supervised_ae(
 
     for epoch in range(max_epochs):
         sums: Dict[str, float] = {}
+        n_seen = 0
         for step_i, (imgs, labels) in enumerate(
                 iter_batches(train_ds, data_cfg.batch_size, shuffle=True,
                              seed=seed, epoch=epoch)):
+            if shard is not None:
+                imgs, labels = shard(imgs, labels)
+                if len(labels) == 0:
+                    continue
             step_key = jax.random.fold_in(jax.random.fold_in(key, epoch), step_i)
             params, bn_state, opt_state, metrics = train_step(
                 params, bn_state, opt_state, imgs, labels, step_key,
                 alpha_arr, lr_arr)
             _accumulate(sums, metrics, len(labels))
-        train_m = _weighted_mean(sums, len(train_ds))
+            n_seen += len(labels)
+        train_m = _weighted_mean(sums, n_seen)
         val_m = run_eval(eval_step, params, bn_state, val_ds,
-                         data_cfg.batch_size, (alpha_arr,))
+                         data_cfg.batch_size, (alpha_arr,), shard=shard)
         for k in ("loss", "mse", "ce", "acc"):
             history[f"train_{k}"].append(train_m[k])
             history[f"val_{k}"].append(val_m[k])

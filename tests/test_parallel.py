@@ -87,6 +87,26 @@ def test_dp_eval_and_encode_match():
     np.testing.assert_allclose(np.asarray(z), np.asarray(z1), atol=1e-5)
 
 
+def test_dp_training_loop_end_to_end():
+    """Full mesh-sharded training via loop.train_supervised_ae(mesh=...)."""
+    from satae.data.ingest import RawDataset
+    from satae.data.pipeline import make_splits
+    from satae.data.synthetic import make_synthetic_eurosat
+    from satae.train.loop import train_supervised_ae
+
+    data_cfg = DataConfig(per_class=16, image_size=32, batch_size=32)
+    imgs, labels, classes = make_synthetic_eurosat(per_class=16, image_size=32,
+                                                   seed=0)
+    splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+    mesh = make_mesh(8)
+    res = train_supervised_ae(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=data_cfg,
+        alpha=35.0, lr=2e-3, max_epochs=2, patience=15, seed=0, mesh=mesh)
+    assert res.epochs_run == 2
+    assert np.isfinite(res.best_val_loss)
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+
+
 def test_dp_multiple_steps_run():
     """Run a few sharded optimizer steps end to end (compile + execute)."""
     params, bn_state, opt_state, imgs, labels = _setup()
