@@ -103,6 +103,8 @@ class SatAEPipeline:
                                     cfg.data.batch_size)
         Xva, yva = extract_features(enc_p, enc_s, splits.val, cfg.model,
                                     cfg.data.batch_size)
+        Xte, yte = extract_features(enc_p, enc_s, splits.test, cfg.model,
+                                    cfg.data.batch_size)
 
         if grid:
             if cfg.runtime.parallel_configs:
@@ -115,7 +117,7 @@ class SatAEPipeline:
                 msweep = mlp_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
-                    out_dir=out_dir, log=log)
+                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte)
             mlp_res, mlp_hp = msweep.best, msweep.best_hparams
         else:
             from satae.train.fast_loop import train_mlp_scan
@@ -138,6 +140,15 @@ class SatAEPipeline:
                        self.mlp_params, self.mlp_bn_state, meta=mlp_hp)
             (Path(out_dir) / "fit_summary.json").write_text(
                 json.dumps(dataclasses.asdict(summary), indent=2))
+            from satae.eval import plots
+            if ae_res.history:
+                plots.loss_curves(ae_res.history,
+                                  Path(out_dir) / "ae_best_curves.png",
+                                  title=f"Best AE ({ae_hp})")
+            if mlp_res.history:
+                plots.accuracy_curves(mlp_res.history,
+                                      Path(out_dir) / "mlp_best_curves.png",
+                                      title=f"Best MLP ({mlp_hp})")
         return summary
 
     # -- inference ---------------------------------------------------------

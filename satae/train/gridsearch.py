@@ -132,9 +132,14 @@ def mlp_grid_search(
     out_dir: Optional[str] = None,
     log: Optional[LogFn] = None,
     engine: str = "scan",
+    test_x: Optional[np.ndarray] = None,
+    test_y: Optional[np.ndarray] = None,
 ) -> SweepResult:
     """11-point lr sweep over the latent MLP; global best by val accuracy
-    (`mlp_global_best.msgpack`, the reference's MLP_GLOBAL_BEST.pt)."""
+    (`mlp_global_best.msgpack`, the reference's MLP_GLOBAL_BEST.pt).
+
+    Pass test_x/test_y to also record each LR's best-epoch test accuracy,
+    like the reference's per-LR test evaluation (Report.md:2686-2697)."""
     if engine == "scan":
         from satae.train import fast_loop
         scan_engine = fast_loop.MLPScanEngine(model_cfg, mlp_cfg.weight_decay)
@@ -145,6 +150,7 @@ def mlp_grid_search(
         eval_step = S.make_mlp_eval_step(model_cfg)
     store = GridResultStore(Path(out_dir) / "mlp_results.json") \
         if out_dir else None
+    test_eval = S.make_mlp_eval_step(model_cfg) if test_x is not None else None
 
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
@@ -167,6 +173,14 @@ def mlp_grid_search(
         summary = {"lr": lr, "best_val_acc": res.best_val_acc,
                    "best_val_loss": res.best_val_loss,
                    "best_epoch": res.best_epoch}
+        if test_eval is not None:
+            from satae.data.pipeline import ArrayDataset
+            from satae.train.loop import run_eval
+            test_m = run_eval(test_eval, res.params, res.bn_state,
+                              ArrayDataset(np.asarray(test_x, np.float32),
+                                           np.asarray(test_y, np.int32)),
+                              batch_size)
+            summary["test_acc"] = test_m["acc"]
         results[key] = summary
         if store is not None:
             store.record(key, summary)
