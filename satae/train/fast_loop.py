@@ -34,6 +34,12 @@ from satae.train.losses import cross_entropy
 from satae.train.optim import adam_init, adam_update
 
 
+_device_copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+"""Device-side pytree snapshot: one dispatch, no host transfer. Needed
+because donated buffers are invalidated by the next epoch; the best-epoch
+snapshot only moves to the host once, when training finishes."""
+
+
 class AEScanEngine:
     """Compiled scan-epoch train/eval programs, shared across grid configs."""
 
@@ -87,8 +93,7 @@ def train_supervised_ae_scan(
     best_val = float("inf")
     best_val_acc = 0.0
     best_epoch = -1
-    best_params = jax.device_get(params)
-    best_bn = jax.device_get(bn_state)
+    best_snapshot = _device_copy((params, bn_state))
     bad = 0
     epoch = 0
 
@@ -114,14 +119,14 @@ def train_supervised_ae_scan(
             best_val = val_loss
             best_val_acc = history["val_acc"][-1]
             best_epoch = epoch
-            best_params = jax.device_get(params)
-            best_bn = jax.device_get(bn_state)
+            best_snapshot = _device_copy((params, bn_state))
             bad = 0
         else:
             bad += 1
             if bad >= patience:
                 break
 
+    best_params, best_bn = jax.device_get(best_snapshot)
     return TrainResult(best_params, best_bn, best_val, best_val_acc,
                        best_epoch, epoch + 1, history)
 
@@ -224,8 +229,7 @@ def train_mlp_scan(
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}
     best_acc, best_loss, best_epoch = -1.0, float("inf"), -1
-    best_params = jax.device_get(params)
-    best_bn = jax.device_get(bn_state)
+    best_snapshot = _device_copy((params, bn_state))
 
     for epoch in range(epochs):
         order = jnp.asarray(hbm.epoch_order(len(train_y), batch_size, seed,
@@ -247,9 +251,9 @@ def train_mlp_scan(
             best_acc = history["val_acc"][-1]
             best_loss = history["val_loss"][-1]
             best_epoch = epoch
-            best_params = jax.device_get(params)
-            best_bn = jax.device_get(bn_state)
+            best_snapshot = _device_copy((params, bn_state))
 
+    best_params, best_bn = jax.device_get(best_snapshot)
     return TrainResult(best_params, best_bn, best_loss, best_acc, best_epoch,
                        epochs, history)
 
