@@ -19,13 +19,18 @@ import jax.numpy as jnp
 
 
 def mse_loss(x_hat: jax.Array, x: jax.Array) -> jax.Array:
-    """Mean squared error over all elements (torch MSELoss 'mean')."""
-    d = x_hat - x
+    """Mean squared error over all elements (torch MSELoss 'mean').
+
+    Accumulates in f32 regardless of compute dtype — with bfloat16
+    activations a bf16 reduction over ~12M elements loses the loss signal."""
+    d = (x_hat - x).astype(jnp.float32)
     return jnp.mean(d * d)
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean softmax cross-entropy from integer labels (torch CrossEntropyLoss)."""
+    """Mean softmax cross-entropy from integer labels (torch CrossEntropyLoss).
+    Computed in f32 (bf16-safe)."""
+    logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     true_logit = jnp.take_along_axis(logits, labels[:, None], axis=-1)[:, 0]
     return jnp.mean(logz - true_logit)
