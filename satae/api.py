@@ -68,6 +68,10 @@ class SatAEPipeline:
         45-config AE sweep + 11-lr MLP sweep; ``grid=False`` trains only the
         reference-optimal config (alpha=35, lr=5e-3; MLP lr=1e-4)."""
         cfg = self.config
+        if grid and cfg.runtime.n_devices:
+            raise NotImplementedError(
+                "data-parallel grid search is not wired yet: use grid=False "
+                "with n_devices, or grid=True single-device")
         raw = raw or load_dataset(cfg.data)
         splits = make_splits(raw, cfg.data)
         self.classes = splits.classes
@@ -86,25 +90,36 @@ class SatAEPipeline:
                     data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
                     out_dir=out_dir, compute_dtype=dtype, log=log)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
+        elif cfg.runtime.n_devices:
+            from satae.parallel import make_mesh
+            mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+            ae_res = train_supervised_ae(
+                splits.train, splits.val, model_cfg=cfg.model,
+                data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
+                max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
+                seed=cfg.runtime.seed, compute_dtype=dtype, log=log,
+                mesh=mesh)
+            ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
         else:
             from satae.train.fast_loop import train_supervised_ae_scan
             ae_res = train_supervised_ae_scan(
                 splits.train, splits.val, model_cfg=cfg.model,
                 data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
                 max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
-                seed=cfg.runtime.seed, log=log)
+                seed=cfg.runtime.seed, log=log, compute_dtype=dtype)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
 
         # Frozen-encoder latent extraction (Report.md:2590-2609).
         enc_p = self.ae_params["encoder"]
         enc_s = self.ae_bn_state["encoder"]
+        encode_step = make_encode_step(cfg.model, dtype)
         Xtr, ytr = extract_features(enc_p, enc_s, splits.train, cfg.model,
-                                    cfg.data.batch_size)
+                                    cfg.data.batch_size, encode_step)
         Xva, yva = extract_features(enc_p, enc_s, splits.val, cfg.model,
-                                    cfg.data.batch_size)
+                                    cfg.data.batch_size, encode_step)
         Xte, yte = extract_features(enc_p, enc_s, splits.test, cfg.model,
-                                    cfg.data.batch_size)
+                                    cfg.data.batch_size, encode_step)
 
         if grid:
             if cfg.runtime.parallel_configs:
@@ -112,7 +127,7 @@ class SatAEPipeline:
                 msweep = mlp_vmap_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
-                    out_dir=out_dir, log=log)
+                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte)
             else:
                 msweep = mlp_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
@@ -153,15 +168,41 @@ class SatAEPipeline:
 
     # -- inference ---------------------------------------------------------
 
+    @staticmethod
+    def _to_uint8(images: np.ndarray) -> np.ndarray:
+        """Accept uint8 images or floats in [0,1] (rounded back to the uint8
+        grid). Floats on a 0-255 scale are rejected rather than silently
+        saturated — the caller must divide by 255 or pass uint8."""
+        imgs = np.asarray(images)
+        if imgs.dtype == np.uint8:
+            return imgs
+        mx = float(imgs.max(initial=0.0))
+        if mx > 1.0 + 1e-3:
+            raise ValueError(
+                f"float images must be normalized to [0,1] (max={mx:.3g}); "
+                "pass uint8 for raw 0-255 pixel values")
+        return np.rint(np.clip(imgs, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    def _use_pallas(self) -> bool:
+        from satae.kernels import pallas_enabled
+        return self.config.runtime.use_pallas or pallas_enabled()
+
     def encode(self, images: np.ndarray) -> np.ndarray:
-        """uint8/float images (N,H,W,C) -> latents (N, latent_dim)."""
+        """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim)."""
         self._require_fitted()
         if self._encode_step is None:
-            self._encode_step = make_encode_step(self.config.model,
-                                                 self.config.compute_dtype)
-        imgs = np.asarray(images)
-        if imgs.dtype != np.uint8:  # already normalized floats
-            imgs = np.clip(imgs * 255.0, 0, 255).astype(np.uint8)
+            if self._use_pallas():
+                from satae.data.augment import normalize
+                from satae.models.fast_infer import encoder_infer_pallas
+
+                cfg = self.config.model
+                self._encode_step = jax.jit(
+                    lambda p, s, u8: encoder_infer_pallas(
+                        p, s, normalize(u8, self.config.compute_dtype), cfg))
+            else:
+                self._encode_step = make_encode_step(self.config.model,
+                                                     self.config.compute_dtype)
+        imgs = self._to_uint8(images)
         z = self._encode_step(self.ae_params["encoder"],
                               self.ae_bn_state["encoder"], imgs)
         return np.asarray(z, np.float32)
@@ -171,7 +212,15 @@ class SatAEPipeline:
         self._require_fitted()
         z = self.encode(images)
         if self._predict_step is None:
-            self._predict_step = S.make_mlp_predict(self.config.model)
+            if self._use_pallas():
+                from satae.models.fast_infer import mlp_infer_pallas
+
+                cfg = self.config.model
+                self._predict_step = jax.jit(
+                    lambda p, s, x: jnp.argmax(
+                        mlp_infer_pallas(p, s, x, cfg), axis=-1))
+            else:
+                self._predict_step = S.make_mlp_predict(self.config.model)
         return np.asarray(self._predict_step(self.mlp_params,
                                              self.mlp_bn_state, z))
 

@@ -102,11 +102,9 @@ class RuntimeConfig:
 
     seed: int = 0
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly throughput runs
-    use_pallas: bool = False  # swap Pallas fused kernels in for the XLA path
+    use_pallas: bool = False  # fused Pallas kernels for encode/predict
     mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
-    n_devices: Optional[int] = None  # None -> all visible devices
-    donate_buffers: bool = True
-    checkpoint_dir: str = "checkpoints"
+    n_devices: Optional[int] = None  # data-parallel device count (None = 1)
     parallel_configs: bool = False  # vmapped grid sweep instead of sequential
 
 

@@ -59,14 +59,16 @@ def subsample_per_class(labels: np.ndarray, per_class: int,
 
 def split_indices(n: int, fractions: Tuple[float, float, float],
                   seed: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Seeded 70/15/15 permutation split; sizes match torch.random_split
-    (floor for the first two, remainder to the last)."""
+    """Seeded 70/15/15 permutation split; sizes match torch.random_split's
+    fraction semantics: floor each split, then hand the remainder out
+    round-robin to the first splits (so n=20001 -> 14001/3000/3000)."""
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
-    n_train = int(fractions[0] * n)
-    n_val = int(fractions[1] * n)
-    return (perm[:n_train], perm[n_train:n_train + n_val],
-            perm[n_train + n_val:])
+    sizes = [int(f * n) for f in fractions]
+    for i in range(n - sum(sizes)):
+        sizes[i % len(sizes)] += 1
+    lo1, lo2 = sizes[0], sizes[0] + sizes[1]
+    return perm[:lo1], perm[lo1:lo2], perm[lo2:lo2 + sizes[2]]
 
 
 def make_splits(raw: RawDataset, cfg: DataConfig) -> Splits:

@@ -72,6 +72,36 @@ def make_dp_ae_eval_step(mesh: Mesh, model_cfg: ModelConfig,
                    out_shardings=repl)
 
 
+def make_dp_ae_eval_step_weighted(mesh: Mesh, model_cfg: ModelConfig,
+                                  compute_dtype=jnp.float32,
+                                  axis: str = "data"):
+    """Weighted-sum eval for sharded batches: zero-weight padding rows make
+    every batch divisible by the device count WITHOUT biasing metrics (the
+    plain eval step would otherwise require truncating the epoch-remainder
+    batch, silently changing val-loss-based model selection)."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def step(params, bn_state, imgs_u8, labels, weights, alpha):
+        imgs = normalize(imgs_u8, compute_dtype)
+        (x_hat, logits, _z), _ = supervised_ae_apply(
+            params, bn_state, imgs, train=False, cfg=model_cfg)
+        w4 = weights[:, None, None, None]
+        se = jnp.sum(((x_hat - imgs) ** 2).astype(jnp.float32) * w4) / \
+            x_hat[0].size
+        logits32 = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits32, axis=-1)
+        tl = jnp.take_along_axis(logits32, labels[:, None], axis=-1)[:, 0]
+        ce = jnp.sum((logz - tl) * weights)
+        correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
+        return {"loss": alpha * se + ce, "mse": se, "ce": ce, "acc": correct,
+                "n": jnp.sum(weights)}
+
+    return jax.jit(step, in_shardings=(repl, repl, batch_sh, batch_sh,
+                                       batch_sh, repl),
+                   out_shardings=repl)
+
+
 def make_dp_encode_step(mesh: Mesh, model_cfg: ModelConfig,
                         compute_dtype=jnp.float32, axis: str = "data"):
     """Sharded frozen-encoder extraction: latents come back batch-sharded

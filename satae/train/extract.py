@@ -34,9 +34,10 @@ def make_encode_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
 
 def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
                      model_cfg: ModelConfig, batch_size: int = 64,
-                     encode_step=None) -> Tuple[np.ndarray, np.ndarray]:
+                     encode_step=None, compute_dtype=jnp.float32
+                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (X (N, latent_dim) float32, y (N,) int32) on host."""
-    encode_step = encode_step or make_encode_step(model_cfg)
+    encode_step = encode_step or make_encode_step(model_cfg, compute_dtype)
     zs = []
     for imgs, _labels in iter_batches(ds, batch_size, shuffle=False):
         zs.append(encode_step(enc_params, enc_state, imgs))

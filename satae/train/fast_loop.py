@@ -68,11 +68,12 @@ def train_supervised_ae_scan(
     engine: Optional[AEScanEngine] = None,
     log: Optional[LogFn] = None,
     device_data=None,
+    compute_dtype=jnp.float32,
 ) -> TrainResult:
     """Scan-epoch version of loop.train_supervised_ae (same selection
     semantics). Pass ``engine`` and ``device_data`` (from
     :func:`upload_ae_data`) to share compilations/uploads across configs."""
-    engine = engine or AEScanEngine(model_cfg, data_cfg)
+    engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype)
     if device_data is None:
         device_data = upload_ae_data(train_ds, val_ds, data_cfg.batch_size)
     images, labels, val_imgs, val_labs, val_wts = device_data
@@ -145,10 +146,13 @@ def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
 # ---------------------------------------------------------------------------
 
 class MLPScanEngine:
-    def __init__(self, model_cfg: ModelConfig, weight_decay: float):
+    def __init__(self, model_cfg: ModelConfig):
         self.model_cfg = model_cfg
 
-        def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr):
+        def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr,
+                     weight_decay):
+            # lr AND weight_decay are traced (CLAUDE.md rule): one
+            # compilation serves every (lr, wd) grid point.
             def step(carry, batch_idx):
                 params, bn_state, opt_state, msum = carry
                 xb = jnp.take(xs, batch_idx, axis=0)
@@ -212,7 +216,7 @@ def train_mlp_scan(
     log: Optional[LogFn] = None,
     device_data=None,
 ) -> TrainResult:
-    engine = engine or MLPScanEngine(model_cfg, weight_decay)
+    engine = engine or MLPScanEngine(model_cfg)
     if device_data is None:
         device_data = upload_mlp_data(train_x, train_y, val_x, val_y,
                                       batch_size)
@@ -224,6 +228,7 @@ def train_mlp_scan(
                                 input_dim=train_x.shape[-1])
     opt_state = adam_init(params)
     lr_arr = jnp.asarray(lr, jnp.float32)
+    wd_arr = jnp.asarray(weight_decay, jnp.float32)
 
     n_counted = (len(train_y) // batch_size) * batch_size
     history: Dict[str, List[float]] = {
@@ -236,7 +241,7 @@ def train_mlp_scan(
                                             epoch))
         ekey = jax.random.fold_in(key, epoch)
         params, bn_state, opt_state, tsum = engine.train_epoch(
-            params, bn_state, opt_state, xs, ys, order, ekey, lr_arr)
+            params, bn_state, opt_state, xs, ys, order, ekey, lr_arr, wd_arr)
         vsum = jax.device_get(engine.eval_sums(params, bn_state, vx, vy, vw))
         tsum = jax.device_get(tsum)
         nv = float(vsum["n"])

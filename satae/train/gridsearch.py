@@ -17,6 +17,7 @@ TPU-native improvements over the reference:
 from __future__ import annotations
 
 import dataclasses
+import json
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -73,6 +74,17 @@ def ae_grid_search(
     store = GridResultStore(Path(out_dir) / "validation_losses.json") \
         if out_dir else None
 
+    # On resume, the existing global-best checkpoint competes with freshly
+    # trained configs — otherwise cached configs are silently excluded from
+    # best selection and their checkpoint gets overwritten by a worse model.
+    ckpt_val = float("inf")
+    ckpt_meta: Dict[str, float] = {}
+    if out_dir:
+        meta_file = Path(out_dir) / "ae_global_best.json"
+        if meta_file.exists():
+            ckpt_meta = json.loads(meta_file.read_text())
+            ckpt_val = float(ckpt_meta.get("best_val_loss", float("inf")))
+
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
     results: Dict[str, Dict[str, float]] = {}
@@ -108,7 +120,8 @@ def ae_grid_search(
             if log:
                 log(f"alpha={alpha} lr={lr}: val_loss={res.best_val_loss:.4f} "
                     f"({res.epochs_run} epochs)")
-            if best is None or res.best_val_loss < best.best_val_loss:
+            if (best is None or res.best_val_loss < best.best_val_loss) \
+                    and res.best_val_loss < ckpt_val:
                 best = res
                 best_hp = {"alpha": alpha, "lr": lr}
                 if out_dir:
@@ -117,7 +130,24 @@ def ae_grid_search(
                                meta={**best_hp,
                                      "best_val_loss": res.best_val_loss,
                                      "best_epoch": res.best_epoch})
-    assert best is not None
+    if best is None or (ckpt_val < best.best_val_loss):
+        # The resumed checkpoint (from cached configs) is the global best —
+        # load it back so the returned model matches the recorded winner.
+        if not ckpt_meta:
+            raise RuntimeError("AE grid search produced no result and no "
+                               "prior checkpoint exists to resume from")
+        from satae.io.checkpoint import load_model
+        from satae.models.supervised_ae import supervised_ae_init
+        import jax
+        tmpl_p, tmpl_s = supervised_ae_init(
+            jax.random.PRNGKey(0), model_cfg, in_ch=data_cfg.channels,
+            image_size=data_cfg.image_size)
+        params, bn_state = load_model(
+            Path(out_dir) / "ae_global_best.msgpack", tmpl_p, tmpl_s)
+        best_hp = {"alpha": float(ckpt_meta["alpha"]),
+                   "lr": float(ckpt_meta["lr"])}
+        best = TrainResult(params, bn_state, ckpt_val,
+                           0.0, int(ckpt_meta.get("best_epoch", -1)), 0, {})
     return SweepResult(best, best_hp, results)
 
 
@@ -142,7 +172,7 @@ def mlp_grid_search(
     like the reference's per-LR test evaluation (Report.md:2686-2697)."""
     if engine == "scan":
         from satae.train import fast_loop
-        scan_engine = fast_loop.MLPScanEngine(model_cfg, mlp_cfg.weight_decay)
+        scan_engine = fast_loop.MLPScanEngine(model_cfg)
         device_data = fast_loop.upload_mlp_data(train_x, train_y, val_x,
                                                 val_y, batch_size)
     else:

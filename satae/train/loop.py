@@ -101,21 +101,45 @@ def train_supervised_ae(
         image_size=data_cfg.image_size, dtype=jnp.float32)
     opt_state = adam_init(params)
     shard = None
+    dp_eval = None
     if mesh is not None:
         from satae.parallel import replicate, shard_batch
-        from satae.parallel.dp import (make_dp_ae_eval_step,
+        from satae.parallel.dp import (make_dp_ae_eval_step_weighted,
                                        make_dp_ae_train_step)
         train_step = train_step or make_dp_ae_train_step(
             mesh, model_cfg, data_cfg, compute_dtype)
-        eval_step = eval_step or make_dp_ae_eval_step(mesh, model_cfg,
-                                                      compute_dtype)
+        eval_w = make_dp_ae_eval_step_weighted(mesh, model_cfg, compute_dtype)
         params = replicate(mesh, params)
         bn_state = replicate(mesh, bn_state)
         opt_state = replicate(mesh, opt_state)
         n_dev = mesh.devices.size
+        # training: drop the sub-device remainder of each batch (standard
+        # drop_last semantics — at most n_dev-1 of the shuffled epoch tail)
         shard = lambda imgs, labs: shard_batch(
             mesh, imgs[: len(imgs) // n_dev * n_dev],
             labs[: len(labs) // n_dev * n_dev])
+
+        def dp_eval(params, bn_state, ds, alpha):
+            # evaluation: zero-weight padding instead of truncation, so val
+            # metrics (and therefore best-epoch selection) cover every sample
+            sums: Dict[str, float] = {}
+            for imgs, labs in iter_batches(ds, data_cfg.batch_size,
+                                           shuffle=False):
+                pad = (-len(labs)) % n_dev
+                w = np.concatenate([np.ones(len(labs), np.float32),
+                                    np.zeros(pad, np.float32)])
+                if pad:
+                    imgs = np.concatenate(
+                        [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+                    labs = np.concatenate(
+                        [labs, np.zeros((pad,), labs.dtype)])
+                m = eval_w(params, bn_state,
+                           *shard_batch(mesh, imgs, labs, w), alpha)
+                host = jax.device_get(m)
+                for k, v in host.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            n = sums.pop("n")
+            return {k: v / n for k, v in sums.items()}
     train_step = train_step or S.make_ae_train_step(
         model_cfg, data_cfg, compute_dtype)
     eval_step = eval_step or S.make_ae_eval_step(model_cfg, compute_dtype)
@@ -151,8 +175,11 @@ def train_supervised_ae(
             _accumulate(sums, metrics, len(labels))
             n_seen += len(labels)
         train_m = _weighted_mean(sums, n_seen)
-        val_m = run_eval(eval_step, params, bn_state, val_ds,
-                         data_cfg.batch_size, (alpha_arr,), shard=shard)
+        if dp_eval is not None:
+            val_m = dp_eval(params, bn_state, val_ds, alpha_arr)
+        else:
+            val_m = run_eval(eval_step, params, bn_state, val_ds,
+                             data_cfg.batch_size, (alpha_arr,), shard=shard)
         for k in ("loss", "mse", "ce", "acc"):
             history[f"train_{k}"].append(train_m[k])
             history[f"val_{k}"].append(val_m[k])

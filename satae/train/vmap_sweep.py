@@ -52,10 +52,12 @@ def ae_vmap_grid_search(
     compute_dtype=jnp.float32,
     log: Optional[LogFn] = None,
 ) -> SweepResult:
-    alphas = np.array([a for a in ae_cfg.alphas
-                       for _ in ae_cfg.learning_rates], np.float32)
-    lrs = np.array([lr for _ in ae_cfg.alphas
-                    for lr in ae_cfg.learning_rates], np.float32)
+    # keep the original Python floats for result keys so a sweep resumed by
+    # the sequential engine finds identical GridResultStore keys
+    hparams = [(float(a), float(lr)) for a in ae_cfg.alphas
+               for lr in ae_cfg.learning_rates]
+    alphas = np.array([a for a, _ in hparams], np.float32)
+    lrs = np.array([lr for _, lr in hparams], np.float32)
     n_cfg = len(alphas)
 
     # fresh per-config inits (the reference re-inits per config, Report.md:619)
@@ -125,9 +127,11 @@ def ae_vmap_grid_search(
             best_snapshot = (_slice_tree(vparams, epoch_best),
                              _slice_tree(vbn, epoch_best))
         if log:
+            hp = (f"(alpha={alphas[global_best_idx]}, "
+                  f"lr={lrs[global_best_idx]})") if global_best_idx >= 0 \
+                else "(none yet)"
             log(f"epoch {epoch:3d}: active={int(active.sum())}/{n_cfg} "
-                f"global_best={global_best:.4f} "
-                f"(alpha={alphas[global_best_idx]}, lr={lrs[global_best_idx]})")
+                f"global_best={global_best:.4f} {hp}")
         if not active.any():
             break
 
@@ -135,8 +139,8 @@ def ae_vmap_grid_search(
     store = GridResultStore(Path(out_dir) / "validation_losses.json") \
         if out_dir else None
     for i in range(n_cfg):
-        key = GridResultStore.key(alpha=float(alphas[i]), lr=float(lrs[i]))
-        summary = {"alpha": float(alphas[i]), "lr": float(lrs[i]),
+        key = GridResultStore.key(alpha=hparams[i][0], lr=hparams[i][1])
+        summary = {"alpha": hparams[i][0], "lr": hparams[i][1],
                    "best_val_loss": float(best_val[i]),
                    "best_val_acc": float(best_acc[i]),
                    "best_epoch": int(best_epoch[i]),
@@ -145,10 +149,17 @@ def ae_vmap_grid_search(
         if store is not None:
             store.record(key, summary)
 
-    assert best_snapshot is not None
+    if best_snapshot is None:
+        # no config ever improved on +inf (e.g. NaN losses from epoch 0):
+        # return end-of-run weights of the least-bad config instead of
+        # crashing, mirroring the sequential path's graceful behavior
+        global_best_idx = int(np.argmin(np.nan_to_num(best_val, nan=np.inf)))
+        best_snapshot = (_slice_tree(vparams, global_best_idx),
+                         _slice_tree(vbn, global_best_idx))
+        global_best = float(best_val[global_best_idx])
     params, bn_state = best_snapshot
-    best_hp = {"alpha": float(alphas[global_best_idx]),
-               "lr": float(lrs[global_best_idx])}
+    best_hp = {"alpha": hparams[global_best_idx][0],
+               "lr": hparams[global_best_idx][1]}
     if out_dir:
         save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
                    meta={**best_hp, "best_val_loss": global_best})
@@ -172,8 +183,11 @@ def mlp_vmap_grid_search(
     seed: int = 0,
     out_dir: Optional[str] = None,
     log: Optional[LogFn] = None,
+    test_x: Optional[np.ndarray] = None,
+    test_y: Optional[np.ndarray] = None,
 ) -> SweepResult:
-    lrs = np.asarray(mlp_cfg.learning_rates, np.float32)
+    lrs_py = [float(lr) for lr in mlp_cfg.learning_rates]  # key-stable floats
+    lrs = np.asarray(lrs_py, np.float32)
     n_cfg = len(lrs)
     input_dim = train_x.shape[-1]
 
@@ -183,7 +197,8 @@ def mlp_vmap_grid_search(
     vopt = adam_init(vparams)
     vopt["step"] = jnp.zeros((n_cfg,), jnp.int32)  # per-config step counter
 
-    def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr):
+    def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr,
+                 weight_decay):
         def step(carry, batch_idx):
             params, bn_state, opt_state = carry
             xb = jnp.take(xs, batch_idx, axis=0)
@@ -198,7 +213,7 @@ def mlp_vmap_grid_search(
             (loss, new_bn), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             params, opt_state = adam_update(params, grads, opt_state, lr,
-                                            weight_decay=mlp_cfg.weight_decay)
+                                            weight_decay=weight_decay)
             return (params, new_bn, opt_state), None
 
         (params, bn_state, opt_state), _ = jax.lax.scan(
@@ -224,7 +239,7 @@ def mlp_vmap_grid_search(
         return out
 
     vepoch = jax.jit(jax.vmap(epoch_fn,
-                              in_axes=(0, 0, 0, None, None, None, 0, 0)),
+                              in_axes=(0, 0, 0, None, None, None, 0, 0, None)),
                      donate_argnums=(0, 1, 2))
     veval = jax.jit(jax.vmap(eval_fn, in_axes=(0, 0, None, None, None)))
 
@@ -249,7 +264,9 @@ def mlp_vmap_grid_search(
         ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
                                                                 epoch)
         vparams, vbn, vopt = vepoch(vparams, vbn, vopt, xs, ys, order, ekeys,
-                                    lrs_d)
+                                    lrs_d,
+                                    jnp.asarray(mlp_cfg.weight_decay,
+                                                jnp.float32))
         m = jax.device_get(veval(vparams, vbn, vx, vy, vw))
         val_acc = m["acc"] / m["n"]
         val_loss = m["loss"] / m["n"]
@@ -266,17 +283,29 @@ def mlp_vmap_grid_search(
     results: Dict[str, Dict[str, float]] = {}
     store = GridResultStore(Path(out_dir) / "mlp_results.json") \
         if out_dir else None
+    test_batches = None
+    if test_x is not None:
+        tds = ArrayDataset(np.asarray(test_x, np.float32),
+                           np.asarray(test_y, np.int32))
+        test_batches = tuple(jax.device_put(a)
+                             for a in hbm.padded_eval_batches(tds, batch_size))
+        jeval_single = jax.jit(eval_fn)
     for i in range(n_cfg):
-        key = GridResultStore.key(lr=float(lrs[i]))
-        summary = {"lr": float(lrs[i]), "best_val_acc": float(best_acc[i]),
+        key = GridResultStore.key(lr=lrs_py[i])
+        summary = {"lr": lrs_py[i], "best_val_acc": float(best_acc[i]),
                    "best_val_loss": float(best_loss[i]),
                    "best_epoch": int(best_epoch[i])}
+        if test_batches is not None and i in snapshots:
+            # per-LR best-epoch test accuracy (reference Report.md:2686-2697)
+            sp, sb = snapshots[i]
+            tm = jax.device_get(jeval_single(sp, sb, *test_batches))
+            summary["test_acc"] = float(tm["acc"] / tm["n"])
         results[key] = summary
         if store is not None:
             store.record(key, summary)
 
     params, bn_state = snapshots[gi]
-    best_hp = {"lr": float(lrs[gi])}
+    best_hp = {"lr": lrs_py[gi]}
     if out_dir:
         save_model(Path(out_dir) / "mlp_global_best.msgpack", params,
                    bn_state, meta={**best_hp, "best_val_acc": float(best_acc[gi])})

@@ -61,6 +61,31 @@ def test_mlp_scan_learns():
     assert len(res.history["val_acc"]) == 10
 
 
+def test_grid_search_resume_returns_cached_global_best(splits, tmp_path):
+    """Regression: a fully-cached (or partially-cached) resumed sweep must
+    return the recorded global best, not crash or prefer a worse fresh
+    config."""
+    ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-2),
+                           max_epochs=2, patience=15)
+    first = ae_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        ae_cfg=ae_cfg, seed=0, out_dir=str(tmp_path), engine="scan")
+    # all configs now cached: rerun must reload the stored winner
+    second = ae_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        ae_cfg=ae_cfg, seed=0, out_dir=str(tmp_path), engine="scan")
+    assert second.best_hparams == first.best_hparams
+    assert second.best.best_val_loss == pytest.approx(
+        first.best.best_val_loss, rel=1e-6)
+    # and the returned params are the checkpointed winner's weights
+    leaves1 = [np.asarray(x) for x in
+               __import__("jax").tree_util.tree_leaves(first.best.params)]
+    leaves2 = [np.asarray(x) for x in
+               __import__("jax").tree_util.tree_leaves(second.best.params)]
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_grid_search_scan_engine(splits, tmp_path):
     ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-2),
                            max_epochs=2, patience=15)

@@ -110,6 +110,13 @@ def test_split_determinism_and_sizes():
     np.testing.assert_array_equal(tr, tr2)
     all_idx = np.sort(np.concatenate([tr, va, te]))
     np.testing.assert_array_equal(all_idx, np.arange(20000))
+    # remainder handling matches torch.random_split (round-robin from the
+    # first split; verified against torch 2.13): 20001 -> 14001/3000/3000,
+    # 20002 -> 14002/3000/3000
+    tr, va, te = pipeline.split_indices(20001, (0.7, 0.15, 0.15), seed=42)
+    assert (len(tr), len(va), len(te)) == (14001, 3000, 3000)
+    tr, va, te = pipeline.split_indices(20002, (0.7, 0.15, 0.15), seed=42)
+    assert (len(tr), len(va), len(te)) == (14002, 3000, 3000)
 
 
 def test_subsample_per_class_seeded():
