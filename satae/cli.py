@@ -23,7 +23,10 @@ def _config_from_args(args) -> "PipelineConfig":
         data=DataConfig(root=args.data, per_class=args.per_class,
                         cache_dir=args.cache_dir),
         runtime=RuntimeConfig(seed=args.seed,
-                              parallel_configs=args.parallel),
+                              parallel_configs=args.parallel,
+                              compute_dtype=args.dtype,
+                              use_pallas=args.pallas,
+                              n_devices=args.n_devices),
     )
 
 
@@ -111,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--out", default="runs/default")
         p.add_argument("--parallel", action="store_true",
                        help="vmapped grid sweeps (all configs at once)")
+        p.add_argument("--dtype", default="float32",
+                       choices=("float32", "bfloat16"),
+                       help="compute dtype (params stay float32)")
+        p.add_argument("--pallas", action="store_true",
+                       help="fused Pallas kernels for encode/predict")
+        p.add_argument("--n-devices", type=int, default=None,
+                       help="data-parallel device count (grid=False only)")
 
     p_fit = sub.add_parser("fit", help="run the full pipeline")
     common(p_fit)
