@@ -252,6 +252,14 @@ class SatAEPipeline:
                 json.dumps(list(self.classes)))
 
     def load(self, out_dir: str) -> "SatAEPipeline":
+        ae_file = Path(out_dir) / "ae_global_best.msgpack"
+        mlp_file = Path(out_dir) / "mlp_global_best.msgpack"
+        missing = [str(p) for p in (ae_file, mlp_file) if not p.exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"no fitted pipeline under {out_dir!r} (missing: "
+                f"{', '.join(missing)}) — run fit(out_dir=...) or "
+                "`python -m satae.cli fit --out ...` first")
         cfg = self.config
         key = jax.random.PRNGKey(0)
         ae_p, ae_s = supervised_ae_init(key, cfg.model,

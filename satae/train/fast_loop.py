@@ -41,15 +41,23 @@ snapshot only moves to the host once, when training finishes."""
 
 
 class AEScanEngine:
-    """Compiled scan-epoch train/eval programs, shared across grid configs."""
+    """Compiled scan-epoch train/eval programs, shared across grid configs.
+
+    With ``mesh``, both programs are data-parallel: the dataset and epoch
+    batches are sharded over the mesh's batch axis, params replicated, and
+    XLA inserts the gradient / BatchNorm psums over ICI."""
 
     def __init__(self, model_cfg: ModelConfig, data_cfg: DataConfig,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, mesh=None,
+                 mesh_axis: str = "data"):
         self.model_cfg = model_cfg
         self.data_cfg = data_cfg
         self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.train_epoch = jax.jit(
-            hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype),
+            hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype,
+                                    mesh=mesh, mesh_axis=mesh_axis),
             donate_argnums=(0, 1, 2))
         self.eval_sums = jax.jit(hbm.ae_eval_body(model_cfg, compute_dtype))
 
@@ -69,13 +77,19 @@ def train_supervised_ae_scan(
     log: Optional[LogFn] = None,
     device_data=None,
     compute_dtype=jnp.float32,
+    mesh=None,
 ) -> TrainResult:
     """Scan-epoch version of loop.train_supervised_ae (same selection
     semantics). Pass ``engine`` and ``device_data`` (from
-    :func:`upload_ae_data`) to share compilations/uploads across configs."""
-    engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype)
+    :func:`upload_ae_data`) to share compilations/uploads across configs.
+    Pass ``mesh`` for data-parallel scan epochs (batch sharded, params
+    replicated; requires batch_size divisible by the device count)."""
+    engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype,
+                                    mesh=mesh)
+    mesh = engine.mesh
     if device_data is None:
-        device_data = upload_ae_data(train_ds, val_ds, data_cfg.batch_size)
+        device_data = upload_ae_data(train_ds, val_ds, data_cfg.batch_size,
+                                     mesh=mesh, mesh_axis=engine.mesh_axis)
     images, labels, val_imgs, val_labs, val_wts = device_data
 
     key = jax.random.PRNGKey(seed)
@@ -84,6 +98,11 @@ def train_supervised_ae_scan(
         init_key, model_cfg, in_ch=data_cfg.channels,
         image_size=data_cfg.image_size)
     opt_state = adam_init(params)
+    if mesh is not None:
+        from satae.parallel import replicate
+        params = replicate(mesh, params)
+        bn_state = replicate(mesh, bn_state)
+        opt_state = replicate(mesh, opt_state)
     alpha_arr = jnp.asarray(alpha, jnp.float32)
     lr_arr = jnp.asarray(lr, jnp.float32)
 
@@ -133,12 +152,25 @@ def train_supervised_ae_scan(
 
 
 def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
-                   batch_size: int):
-    """Upload train arrays + padded val batches to HBM once per sweep."""
+                   batch_size: int, mesh=None, mesh_axis: str = "data"):
+    """Upload train arrays + padded val batches to HBM once per sweep.
+
+    With ``mesh``, the train arrays are sharded over the batch axis (the
+    dataset itself is distributed across device HBMs); val batches stay
+    replicated (the eval program is cheap and runs identically per device).
+    """
     val_imgs, val_labs, val_wts = hbm.padded_eval_batches(val_ds, batch_size)
-    return (jax.device_put(train_ds.images), jax.device_put(train_ds.labels),
-            jax.device_put(val_imgs), jax.device_put(val_labs),
-            jax.device_put(val_wts))
+    if mesh is not None:
+        from satae.parallel import batch_sharding
+        images = jax.device_put(train_ds.images,
+                                batch_sharding(mesh, 4, mesh_axis))
+        labels = jax.device_put(train_ds.labels,
+                                batch_sharding(mesh, 1, mesh_axis))
+    else:
+        images = jax.device_put(train_ds.images)
+        labels = jax.device_put(train_ds.labels)
+    return (images, labels, jax.device_put(val_imgs),
+            jax.device_put(val_labs), jax.device_put(val_wts))
 
 
 # ---------------------------------------------------------------------------

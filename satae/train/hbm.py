@@ -63,15 +63,29 @@ def padded_eval_batches(ds: ArrayDataset, batch_size: int
 # ---------------------------------------------------------------------------
 
 def ae_train_epoch_body(model_cfg: ModelConfig, data_cfg: DataConfig,
-                        compute_dtype=jnp.float32):
+                        compute_dtype=jnp.float32, mesh=None,
+                        mesh_axis: str = "data"):
     """Returns epoch_fn(params, bn, opt, images, labels, order, key, alpha,
     lr) -> (params, bn, opt, metric_sums) where metric_sums are per-sample
-    weighted sums over the epoch (divide by order.size on the host)."""
+    weighted sums over the epoch (divide by order.size on the host).
+
+    With ``mesh``, the per-step batch gather is constrained to batch-axis
+    sharding, so the whole scan epoch runs data-parallel: the dataset lives
+    sharded in HBM, each step's gathered batch is resharded over ICI
+    (~1 MB/step), and XLA emits the gradient/BN psums — one device program
+    per epoch per mesh, no per-step dispatch.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        batch_sh = NamedSharding(mesh, PartitionSpec(mesh_axis))
 
     def step(carry, batch_idx, images, labels, key, alpha, lr):
         params, bn_state, opt_state, msum = carry
         imgs_u8 = jnp.take(images, batch_idx, axis=0)
         labs = jnp.take(labels, batch_idx, axis=0)
+        if mesh is not None:
+            imgs_u8 = lax.with_sharding_constraint(imgs_u8, batch_sh)
+            labs = lax.with_sharding_constraint(labs, batch_sh)
         step_key = jax.random.fold_in(key, batch_idx[0])
         imgs = augment_train_batch(
             step_key, imgs_u8, crop_padding=data_cfg.crop_padding,

@@ -88,6 +88,8 @@ def ae_vmap_grid_search(
     cfg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.PRNGKey(seed + 1), jnp.arange(n_cfg))
 
+    val_loss_hist: list = []  # per-epoch (n_cfg,) arrays -> winner's curves
+    val_acc_hist: list = []
     best_val = np.full((n_cfg,), np.inf, np.float64)
     best_acc = np.zeros((n_cfg,), np.float64)
     best_epoch = np.full((n_cfg,), -1, np.int64)
@@ -109,6 +111,8 @@ def ae_vmap_grid_search(
         vsum = jax.device_get(vsum)
         val_loss = vsum["loss"] / vsum["n"]
         val_acc = vsum["acc"] / vsum["n"]
+        val_loss_hist.append(val_loss)
+        val_acc_hist.append(val_acc)
 
         improved = active & (val_loss < best_val)
         best_val = np.where(improved, val_loss, best_val)
@@ -163,9 +167,14 @@ def ae_vmap_grid_search(
     if out_dir:
         save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
                    meta={**best_hp, "best_val_loss": global_best})
+    gi = global_best_idx
+    history = {
+        "val_loss": [float(v[gi]) for v in val_loss_hist],
+        "val_acc": [float(v[gi]) for v in val_acc_hist],
+    }
     best = TrainResult(params, bn_state, global_best,
-                       float(best_acc[global_best_idx]),
-                       int(best_epoch[global_best_idx]), epoch + 1, {})
+                       float(best_acc[gi]), int(best_epoch[gi]), epoch + 1,
+                       history)
     return SweepResult(best, best_hp, results)
 
 

@@ -5,6 +5,7 @@ are global-batch (synchronized) under sharding."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from satae.config import DataConfig, ModelConfig
 from satae.models.supervised_ae import supervised_ae_init
@@ -105,6 +106,32 @@ def test_dp_training_loop_end_to_end():
     assert res.epochs_run == 2
     assert np.isfinite(res.best_val_loss)
     assert res.history["train_loss"][-1] < res.history["train_loss"][0]
+
+
+def test_dp_scan_epoch_matches_single_device():
+    """The mesh-sharded scan epoch must produce the same training result as
+    the single-device scan epoch (same order, same keys => same numerics up
+    to reduction order)."""
+    from satae.data.ingest import RawDataset
+    from satae.data.pipeline import make_splits
+    from satae.data.synthetic import make_synthetic_eurosat
+    from satae.train.fast_loop import train_supervised_ae_scan
+
+    data_cfg = DataConfig(per_class=16, image_size=32, batch_size=32)
+    imgs, labels, classes = make_synthetic_eurosat(per_class=16, image_size=32,
+                                                   seed=0)
+    splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+
+    res1 = train_supervised_ae_scan(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=data_cfg,
+        alpha=35.0, lr=2e-3, max_epochs=2, patience=15, seed=0)
+    resN = train_supervised_ae_scan(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=data_cfg,
+        alpha=35.0, lr=2e-3, max_epochs=2, patience=15, seed=0,
+        mesh=make_mesh(8))
+    assert resN.best_val_loss == pytest.approx(res1.best_val_loss, rel=1e-3)
+    np.testing.assert_allclose(resN.history["train_loss"],
+                               res1.history["train_loss"], rtol=1e-3)
 
 
 def test_dp_multiple_steps_run():
