@@ -54,6 +54,28 @@ def load_model(path: str | Path, params_like: Any, bn_state_like: Any):
     return blob["params"], blob["bn_state"]
 
 
+def save_train_state(path: str | Path, *, params: Any, bn_state: Any,
+                     opt_state: Any, epoch: int,
+                     extra: Optional[Dict[str, Any]] = None) -> None:
+    """Full mid-training snapshot (params + BN stats + optimizer moments +
+    epoch counter) — the mid-run resume the reference lacks entirely
+    (SURVEY.md §5: a crash mid-grid-search loses all in-memory state)."""
+    save_pytree(path, {"params": params, "bn_state": bn_state,
+                       "opt_state": opt_state})
+    meta = {"epoch": int(epoch), **(extra or {})}
+    Path(path).with_suffix(".state.json").write_text(json.dumps(meta))
+
+
+def load_train_state(path: str | Path, *, params_like: Any,
+                     bn_state_like: Any, opt_state_like: Any):
+    """Returns (params, bn_state, opt_state, meta)."""
+    blob = load_pytree(path, {"params": params_like,
+                              "bn_state": bn_state_like,
+                              "opt_state": opt_state_like})
+    meta = json.loads(Path(path).with_suffix(".state.json").read_text())
+    return blob["params"], blob["bn_state"], blob["opt_state"], meta
+
+
 class GridResultStore:
     """Append-safe grid-search result store (the reference's
     validation_losses.json, flushed per config for crash resumability)."""

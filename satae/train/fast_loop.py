@@ -78,12 +78,21 @@ def train_supervised_ae_scan(
     device_data=None,
     compute_dtype=jnp.float32,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
 ) -> TrainResult:
     """Scan-epoch version of loop.train_supervised_ae (same selection
     semantics). Pass ``engine`` and ``device_data`` (from
     :func:`upload_ae_data`) to share compilations/uploads across configs.
     Pass ``mesh`` for data-parallel scan epochs (batch sharded, params
-    replicated; requires batch_size divisible by the device count)."""
+    replicated; requires batch_size divisible by the device count).
+
+    ``checkpoint_path`` + ``checkpoint_every=k`` enables mid-training crash
+    recovery: the full train state (params, BN stats, optimizer moments,
+    early-stopping bookkeeping, best-epoch snapshot) is flushed every k
+    epochs, and an existing checkpoint at that path is resumed from
+    automatically — the recovery story the reference has none of
+    (SURVEY.md §5)."""
     engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype,
                                     mesh=mesh)
     mesh = engine.mesh
@@ -116,8 +125,32 @@ def train_supervised_ae_scan(
     best_snapshot = _device_copy((params, bn_state))
     bad = 0
     epoch = 0
+    start_epoch = 0
 
-    for epoch in range(max_epochs):
+    from pathlib import Path
+
+    from satae.io import checkpoint as ckpt
+    if checkpoint_path and Path(checkpoint_path).exists():
+        params, bn_state, opt_state, meta = ckpt.load_train_state(
+            checkpoint_path, params_like=jax.device_get(params),
+            bn_state_like=jax.device_get(bn_state),
+            opt_state_like=jax.device_get(opt_state))
+        start_epoch = meta["epoch"] + 1
+        best_val = meta.get("best_val", best_val)
+        best_val_acc = meta.get("best_val_acc", best_val_acc)
+        best_epoch = meta.get("best_epoch", best_epoch)
+        bad = meta.get("bad", 0)
+        for k in history:
+            history[k] = meta.get("history", {}).get(k, [])
+        best_file = Path(checkpoint_path).with_suffix(".best.msgpack")
+        if best_file.exists():
+            best_snapshot = ckpt.load_model(best_file,
+                                            jax.device_get(params),
+                                            jax.device_get(bn_state))
+        if log:
+            log(f"resumed from {checkpoint_path} at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, max_epochs):
         order = jnp.asarray(hbm.epoch_order(
             len(train_ds), data_cfg.batch_size, seed, epoch))
         ekey = jax.random.fold_in(key, epoch)
@@ -135,7 +168,8 @@ def train_supervised_ae_scan(
         if log:
             log(f"epoch {epoch:3d}  train_loss={history['train_loss'][-1]:.4f} "
                 f"val_loss={val_loss:.4f} val_acc={history['val_acc'][-1]:.4f}")
-        if val_loss < best_val:
+        improved = val_loss < best_val
+        if improved:
             best_val = val_loss
             best_val_acc = history["val_acc"][-1]
             best_epoch = epoch
@@ -143,8 +177,21 @@ def train_supervised_ae_scan(
             bad = 0
         else:
             bad += 1
-            if bad >= patience:
-                break
+
+        if checkpoint_path and checkpoint_every and \
+                (epoch + 1) % checkpoint_every == 0:
+            ckpt.save_train_state(
+                checkpoint_path, params=params, bn_state=bn_state,
+                opt_state=opt_state, epoch=epoch,
+                extra={"best_val": best_val, "best_val_acc": best_val_acc,
+                       "best_epoch": best_epoch, "bad": bad,
+                       "history": history})
+            bp, bb = best_snapshot
+            ckpt.save_model(
+                Path(checkpoint_path).with_suffix(".best.msgpack"), bp, bb)
+
+        if bad >= patience:
+            break
 
     best_params, best_bn = jax.device_get(best_snapshot)
     return TrainResult(best_params, best_bn, best_val, best_val_acc,
