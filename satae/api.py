@@ -21,7 +21,7 @@ import numpy as np
 from satae.config import PipelineConfig, default_config
 from satae.data.augment import normalize
 from satae.data.ingest import RawDataset, load_dataset
-from satae.data.pipeline import ArrayDataset, Splits, make_splits
+from satae.data.pipeline import ArrayDataset, make_splits
 from satae.eval import metrics as M
 from satae.io.checkpoint import load_model, save_model
 from satae.models.mlp import mlp_init

@@ -23,7 +23,7 @@ Unlike the reference, the per-class subsample is seeded here (the reference's
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ One function per reference figure (all saved, never shown — headless Agg):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import matplotlib
 

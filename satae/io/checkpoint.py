@@ -24,7 +24,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 from flax import serialization
 
 

@@ -8,7 +8,6 @@ image) and caches it under csrc/build/. Falls back cleanly — callers guard on
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

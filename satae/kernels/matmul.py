@@ -20,7 +20,6 @@ the XLA side before the calls).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ Reference layers being re-implemented (do-not-copy; behavior only):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -10,7 +10,6 @@ than per-replica BN (SURVEY.md §7 hard parts).
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

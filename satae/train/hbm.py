@@ -18,7 +18,7 @@ Epoch accounting:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from satae.config import DataConfig, ModelConfig
 from satae.data.augment import augment_train_batch, normalize
 from satae.data.pipeline import ArrayDataset
 from satae.models.supervised_ae import supervised_ae_apply
-from satae.train.losses import accuracy, cross_entropy, joint_ae_loss
+from satae.train.losses import accuracy, joint_ae_loss
 from satae.train.optim import adam_update
 
 

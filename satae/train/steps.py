@@ -14,7 +14,6 @@ Two batch shapes at most get compiled (full batch + epoch remainder).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
