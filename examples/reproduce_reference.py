@@ -1,0 +1,108 @@
+"""Reproduce the reference notebook end-to-end with the satae API.
+
+This walks the exact notebook flow (SURVEY.md §0) — every cell's counterpart,
+in order, producing every figure/artifact the reference produces:
+
+ 1. ingest + class distribution + sample grid        (nb cells 5-10)
+ 2. seeded subsample + 70/15/15 split                (nb cells 8, 17)
+ 3. CE/MSE loss-scale calibration histogram          (nb cell 44)
+ 4. alpha x lr supervised-AE grid search + heatmap   (nb cells 52-54)
+ 5. best-AE loss curves                              (nb cell 56)
+ 6. frozen-encoder latent extraction                 (nb cell 60/66)
+ 7. MLP lr grid + accuracy curves                    (nb cells 63-66)
+ 8. confusion matrix + classification report         (nb cells 72-73)
+
+Usage:
+  python examples/reproduce_reference.py --data /path/to/EuroSAT --out runs/repro
+  (omit --data to run on the synthetic stand-in; add --quick for a small
+   smoke-scale run)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--out", default="runs/repro")
+    ap.add_argument("--quick", action="store_true",
+                    help="small-scale smoke run (per_class=48, short grids)")
+    args = ap.parse_args()
+
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                              PipelineConfig)
+    from satae.data.ingest import load_dataset
+    from satae.data.pipeline import iter_batches, make_splits
+    from satae.eval import plots
+    from satae.train.calibrate import (CalibrationSummary,
+                                       loss_ratio_calibration)
+    from satae.utils.logging import MetricsLogger
+    from satae.utils.profiling import Stopwatch
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.quick:
+        cfg = PipelineConfig(
+            data=DataConfig(root=args.data, per_class=96),
+            ae=AETrainConfig(alphas=(20.0, 35.0),
+                             learning_rates=(1e-3, 5e-3), max_epochs=15),
+            mlp=MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=12))
+        n_inits = 50
+    else:
+        cfg = PipelineConfig(data=DataConfig(root=args.data))  # full scale
+        n_inits = 1000
+    log = MetricsLogger(out / "metrics.jsonl")
+    sw = Stopwatch()
+
+    # 1-2: ingest, subsample, split, data figures
+    with sw.stage("ingest"):
+        raw = load_dataset(cfg.data)
+        splits = make_splits(raw, cfg.data)
+    plots.class_distribution(raw.labels, raw.classes, out / "class_distribution.png")
+    plots.sample_grid(raw.images, raw.labels, raw.classes, out / "samples.png")
+    log(f"dataset: {len(raw)} images, splits "
+        f"{len(splits.train)}/{len(splits.val)}/{len(splits.test)}")
+
+    # 3: loss-scale calibration (reference uses latent_dim=128 here)
+    with sw.stage("calibrate"):
+        imgs, labels = next(iter_batches(splits.train, cfg.data.batch_size,
+                                         shuffle=True, seed=0))
+        ratios = loss_ratio_calibration(imgs, labels, n_inits=n_inits,
+                                        chunk=10 if args.quick else 50)
+    plots.ratio_histogram(ratios, out / "ratio_histogram.png")
+    cal = CalibrationSummary.from_ratios(ratios)
+    log(f"CE/MSE ratio at init: median={cal.median:.1f} "
+        f"(reference: ~30-32, Report.md:534)")
+
+    # 4-8: the full pipeline (AE grid -> latents -> MLP grid -> eval)
+    with sw.stage("fit"):
+        pipe = SatAEPipeline(cfg)
+        summary = pipe.fit(raw, grid=True, out_dir=str(out), log=log)
+
+    results = json.loads((out / "validation_losses.json").read_text())
+    plots.gridsearch_heatmap(results, out / "gridsearch_heatmap.png")
+
+    with sw.stage("evaluate"):
+        result = pipe.evaluate(splits.test)
+    plots.confusion_display(result["confusion_matrix"], splits.classes,
+                            out / "confusion_matrix.png")
+    print(result["report"])
+    log({"test_accuracy": float(result["accuracy"]),
+         "reference_headline": 0.7473, **sw.report()})
+    (out / "final.json").write_text(json.dumps({
+        "test_accuracy": float(result["accuracy"]),
+        "ae": summary.ae_hparams, "mlp": summary.mlp_hparams,
+        "calibration_median": cal.median, "timings_s": sw.report()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
