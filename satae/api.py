@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from satae.config import PipelineConfig, default_config
-from satae.data.augment import normalize
 from satae.data.ingest import RawDataset, load_dataset
 from satae.data.pipeline import ArrayDataset, make_splits
 from satae.eval import metrics as M
@@ -29,7 +28,7 @@ from satae.models.supervised_ae import supervised_ae_init
 from satae.train import steps as S
 from satae.train.extract import extract_features, make_encode_step
 from satae.train.gridsearch import ae_grid_search, mlp_grid_search
-from satae.train.loop import train_mlp, train_supervised_ae
+from satae.train.loop import train_supervised_ae
 
 # Reference-optimal single-config hyperparameters (Report.md:2407, 3117):
 BEST_ALPHA = 35.0
@@ -145,16 +144,30 @@ class SatAEPipeline:
         self._encode_step = None
         self._predict_step = None
 
-        test_acc = self.evaluate(splits.test)["accuracy"]
+        # final test evaluation on the already-extracted latents (no second
+        # encoder pass over the test split)
+        predict = S.make_mlp_predict(cfg.model)
+        test_preds = np.asarray(predict(self.mlp_params, self.mlp_bn_state,
+                                        Xte))
+        test_acc = float((test_preds == yte).mean())
         summary = FitSummary(ae_res.best_val_loss, ae_hp,
                              mlp_res.best_val_acc, mlp_hp, test_acc)
         if out_dir:
+            # meta must carry the selection metrics — ae_grid_search's resume
+            # protection reads best_val_loss from ae_global_best.json
             save_model(Path(out_dir) / "ae_global_best.msgpack",
-                       self.ae_params, self.ae_bn_state, meta=ae_hp)
+                       self.ae_params, self.ae_bn_state,
+                       meta={**ae_hp, "best_val_loss": ae_res.best_val_loss,
+                             "best_epoch": ae_res.best_epoch})
             save_model(Path(out_dir) / "mlp_global_best.msgpack",
-                       self.mlp_params, self.mlp_bn_state, meta=mlp_hp)
+                       self.mlp_params, self.mlp_bn_state,
+                       meta={**mlp_hp, "best_val_acc": mlp_res.best_val_acc,
+                             "best_epoch": mlp_res.best_epoch})
             (Path(out_dir) / "fit_summary.json").write_text(
                 json.dumps(dataclasses.asdict(summary), indent=2))
+            if self.classes:
+                (Path(out_dir) / "classes.json").write_text(
+                    json.dumps(list(self.classes)))
             from satae.eval import plots
             if ae_res.history:
                 plots.loss_curves(ae_res.history,

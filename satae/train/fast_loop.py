@@ -26,12 +26,11 @@ import numpy as np
 
 from satae.config import DataConfig, ModelConfig
 from satae.data.pipeline import ArrayDataset
-from satae.models.mlp import mlp_apply, mlp_init
+from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
 from satae.train import hbm
 from satae.train.loop import LogFn, TrainResult
-from satae.train.losses import cross_entropy
-from satae.train.optim import adam_init, adam_update
+from satae.train.optim import adam_init
 
 
 _device_copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
@@ -149,6 +148,9 @@ def train_supervised_ae_scan(
                                             jax.device_get(bn_state))
         if log:
             log(f"resumed from {checkpoint_path} at epoch {start_epoch}")
+        epoch = start_epoch - 1  # correct epochs_run if the loop never runs
+        if bad >= patience:      # resumed a run that had already stopped
+            start_epoch = max_epochs
 
     for epoch in range(start_epoch, max_epochs):
         order = jnp.asarray(hbm.epoch_order(
@@ -180,15 +182,19 @@ def train_supervised_ae_scan(
 
         if checkpoint_path and checkpoint_every and \
                 (epoch + 1) % checkpoint_every == 0:
+            # best snapshot FIRST, then the state/meta pair: each write is
+            # atomic but the pair is not — with this order a crash in
+            # between leaves meta one flush old, so resume merely re-discovers
+            # the improvement instead of mislabeling stale best weights.
+            bp, bb = best_snapshot
+            ckpt.save_model(
+                Path(checkpoint_path).with_suffix(".best.msgpack"), bp, bb)
             ckpt.save_train_state(
                 checkpoint_path, params=params, bn_state=bn_state,
                 opt_state=opt_state, epoch=epoch,
                 extra={"best_val": best_val, "best_val_acc": best_val_acc,
                        "best_epoch": best_epoch, "bad": bad,
                        "history": history})
-            bp, bb = best_snapshot
-            ckpt.save_model(
-                Path(checkpoint_path).with_suffix(".best.msgpack"), bp, bb)
 
         if bad >= patience:
             break
@@ -209,10 +215,19 @@ def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
     val_imgs, val_labs, val_wts = hbm.padded_eval_batches(val_ds, batch_size)
     if mesh is not None:
         from satae.parallel import batch_sharding
-        images = jax.device_put(train_ds.images,
-                                batch_sharding(mesh, 4, mesh_axis))
-        labels = jax.device_put(train_ds.labels,
-                                batch_sharding(mesh, 1, mesh_axis))
+        # sharding requires axis 0 divisible by the device count: pad with
+        # zero rows — epoch_order only ever gathers indices < len(train_ds),
+        # so the padding is dead weight, never training data
+        n_dev = mesh.devices.size
+        pad = (-len(train_ds)) % n_dev
+        imgs_h, labs_h = train_ds.images, train_ds.labels
+        if pad:
+            imgs_h = np.concatenate(
+                [imgs_h, np.zeros((pad,) + imgs_h.shape[1:], imgs_h.dtype)])
+            labs_h = np.concatenate(
+                [labs_h, np.zeros((pad,), labs_h.dtype)])
+        images = jax.device_put(imgs_h, batch_sharding(mesh, 4, mesh_axis))
+        labels = jax.device_put(labs_h, batch_sharding(mesh, 1, mesh_axis))
     else:
         images = jax.device_put(train_ds.images)
         labels = jax.device_put(train_ds.labels)
@@ -225,60 +240,15 @@ def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
 # ---------------------------------------------------------------------------
 
 class MLPScanEngine:
+    """Compiled MLP scan-epoch programs (shared bodies in satae.train.hbm;
+    lr and weight_decay are traced, so one compilation serves every grid
+    point)."""
+
     def __init__(self, model_cfg: ModelConfig):
         self.model_cfg = model_cfg
-
-        def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr,
-                     weight_decay):
-            # lr AND weight_decay are traced (CLAUDE.md rule): one
-            # compilation serves every (lr, wd) grid point.
-            def step(carry, batch_idx):
-                params, bn_state, opt_state, msum = carry
-                xb = jnp.take(xs, batch_idx, axis=0)
-                yb = jnp.take(ys, batch_idx, axis=0)
-                dkey = jax.random.fold_in(key, batch_idx[0])
-
-                def loss_fn(p):
-                    logits, new_bn = mlp_apply(p, bn_state, xb, train=True,
-                                               cfg=model_cfg, dropout_key=dkey)
-                    return cross_entropy(logits, yb), (new_bn, logits)
-
-                (loss, (new_bn, logits)), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                params, opt_state = adam_update(params, grads, opt_state, lr,
-                                                weight_decay=weight_decay)
-                b = xb.shape[0]
-                correct = jnp.sum(jnp.argmax(logits, -1) == yb)
-                msum = {"loss": msum["loss"] + loss * b,
-                        "acc": msum["acc"] + correct.astype(jnp.float32)}
-                return (params, new_bn, opt_state, msum), None
-
-            zeros = jnp.zeros((), jnp.float32)
-            (params, bn_state, opt_state, msum), _ = jax.lax.scan(
-                step, (params, bn_state, opt_state,
-                       {"loss": zeros, "acc": zeros}), order)
-            return params, bn_state, opt_state, msum
-
-        def eval_fn(params, bn_state, xs, ys, wts):
-            def body(carry, batch):
-                xb, yb, wb = batch
-                logits, _ = mlp_apply(params, bn_state, xb, train=False,
-                                      cfg=model_cfg)
-                logz = jax.nn.logsumexp(logits, axis=-1)
-                tl = jnp.take_along_axis(logits, yb[:, None], axis=-1)[:, 0]
-                return {"loss": carry["loss"] + jnp.sum((logz - tl) * wb),
-                        "acc": carry["acc"] +
-                        jnp.sum((jnp.argmax(logits, -1) == yb) * wb),
-                        "n": carry["n"] + jnp.sum(wb)}, None
-
-            zeros = jnp.zeros((), jnp.float32)
-            out, _ = jax.lax.scan(
-                body, {"loss": zeros, "acc": zeros, "n": zeros},
-                (xs, ys, wts))
-            return out
-
-        self.train_epoch = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
-        self.eval_sums = jax.jit(eval_fn)
+        self.train_epoch = jax.jit(hbm.mlp_train_epoch_body(model_cfg),
+                                   donate_argnums=(0, 1, 2))
+        self.eval_sums = jax.jit(hbm.mlp_eval_body(model_cfg))
 
 
 def train_mlp_scan(

@@ -185,7 +185,24 @@ def mlp_grid_search(
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
     results: Dict[str, Dict[str, float]] = {}
+
+    # resume support (like the AE sweep): skip cached configs and let the
+    # existing global-best checkpoint compete with freshly trained ones
+    ckpt_acc = -1.0
+    ckpt_meta: Dict[str, float] = {}
+    if out_dir:
+        meta_file = Path(out_dir) / "mlp_global_best.json"
+        if meta_file.exists():
+            ckpt_meta = json.loads(meta_file.read_text())
+            ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
+
     for lr in mlp_cfg.learning_rates:
+        key = GridResultStore.key(lr=lr)
+        if store is not None and key in store:
+            results[key] = store.results[key]
+            if log:
+                log(f"skip cached lr={lr}")
+            continue
         if engine == "scan":
             res = fast_loop.train_mlp_scan(
                 train_x, train_y, val_x, val_y, model_cfg=model_cfg, lr=lr,
@@ -199,7 +216,6 @@ def mlp_grid_search(
                             epochs=mlp_cfg.epochs, batch_size=batch_size,
                             seed=seed, train_step=train_step,
                             eval_step=eval_step)
-        key = GridResultStore.key(lr=lr)
         summary = {"lr": lr, "best_val_acc": res.best_val_acc,
                    "best_val_loss": res.best_val_loss,
                    "best_epoch": res.best_epoch}
@@ -216,7 +232,8 @@ def mlp_grid_search(
             store.record(key, summary)
         if log:
             log(f"lr={lr}: val_acc={res.best_val_acc:.4f}")
-        if best is None or res.best_val_acc > best.best_val_acc:
+        if (best is None or res.best_val_acc > best.best_val_acc) \
+                and res.best_val_acc > ckpt_acc:
             best = res
             best_hp = {"lr": lr}
             if out_dir:
@@ -224,5 +241,20 @@ def mlp_grid_search(
                            res.params, res.bn_state,
                            meta={**best_hp, "best_val_acc": res.best_val_acc,
                                  "best_epoch": res.best_epoch})
-    assert best is not None
+    if best is None or ckpt_acc > best.best_val_acc:
+        # the resumed checkpoint (from cached configs) remains the winner
+        if not ckpt_meta:
+            raise RuntimeError("MLP grid search produced no result and no "
+                               "prior checkpoint exists to resume from")
+        import jax
+
+        from satae.io.checkpoint import load_model
+        from satae.models.mlp import mlp_init
+        tmpl_p, tmpl_s = mlp_init(jax.random.PRNGKey(0), model_cfg,
+                                  input_dim=train_x.shape[-1])
+        params, bn_state = load_model(
+            Path(out_dir) / "mlp_global_best.msgpack", tmpl_p, tmpl_s)
+        best_hp = {"lr": float(ckpt_meta["lr"])}
+        best = TrainResult(params, bn_state, float("inf"), ckpt_acc,
+                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
     return SweepResult(best, best_hp, results)

@@ -118,6 +118,76 @@ def ae_train_epoch_body(model_cfg: ModelConfig, data_cfg: DataConfig,
     return epoch_fn
 
 
+# ---------------------------------------------------------------------------
+# Latent MLP: scan-epoch train and weighted-eval bodies (shared by
+# fast_loop.MLPScanEngine and vmap_sweep.mlp_vmap_grid_search).
+# ---------------------------------------------------------------------------
+
+def mlp_train_epoch_body(model_cfg: ModelConfig):
+    """Returns epoch_fn(params, bn, opt, xs, ys, order, key, lr,
+    weight_decay) -> (params, bn, opt, metric_sums). lr and weight_decay are
+    traced (one compilation serves every grid point)."""
+    from satae.models.mlp import mlp_apply
+    from satae.train.losses import cross_entropy
+
+    def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr,
+                 weight_decay):
+        def step(carry, batch_idx):
+            params, bn_state, opt_state, msum = carry
+            xb = jnp.take(xs, batch_idx, axis=0)
+            yb = jnp.take(ys, batch_idx, axis=0)
+            dkey = jax.random.fold_in(key, batch_idx[0])
+
+            def loss_fn(p):
+                logits, new_bn = mlp_apply(p, bn_state, xb, train=True,
+                                           cfg=model_cfg, dropout_key=dkey)
+                return cross_entropy(logits, yb), (new_bn, logits)
+
+            (loss, (new_bn, logits)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            params, opt_state = adam_update(params, grads, opt_state, lr,
+                                            weight_decay=weight_decay)
+            b = xb.shape[0]
+            correct = jnp.sum(jnp.argmax(logits, -1) == yb)
+            msum = {"loss": msum["loss"] + loss * b,
+                    "acc": msum["acc"] + correct.astype(jnp.float32)}
+            return (params, new_bn, opt_state, msum), None
+
+        zeros = jnp.zeros((), jnp.float32)
+        (params, bn_state, opt_state, msum), _ = lax.scan(
+            step, (params, bn_state, opt_state,
+                   {"loss": zeros, "acc": zeros}), order)
+        return params, bn_state, opt_state, msum
+
+    return epoch_fn
+
+
+def mlp_eval_body(model_cfg: ModelConfig):
+    """Returns eval_fn(params, bn, xs (nb,B,D), ys (nb,B), wts (nb,B)) ->
+    weighted sums {loss, acc, n} (padding rows have weight 0)."""
+    from satae.models.mlp import mlp_apply
+
+    def eval_fn(params, bn_state, xs, ys, wts):
+        def body(carry, batch):
+            xb, yb, wb = batch
+            logits, _ = mlp_apply(params, bn_state, xb, train=False,
+                                  cfg=model_cfg)
+            logits32 = logits.astype(jnp.float32)
+            logz = jax.nn.logsumexp(logits32, axis=-1)
+            tl = jnp.take_along_axis(logits32, yb[:, None], axis=-1)[:, 0]
+            return {"loss": carry["loss"] + jnp.sum((logz - tl) * wb),
+                    "acc": carry["acc"] +
+                    jnp.sum((jnp.argmax(logits, -1) == yb) * wb),
+                    "n": carry["n"] + jnp.sum(wb)}, None
+
+        zeros = jnp.zeros((), jnp.float32)
+        out, _ = lax.scan(body, {"loss": zeros, "acc": zeros, "n": zeros},
+                          (xs, ys, wts))
+        return out
+
+    return eval_fn
+
+
 def ae_eval_body(model_cfg: ModelConfig, compute_dtype=jnp.float32):
     """Returns eval_fn(params, bn, images (nb,B,...), labels (nb,B),
     weights (nb,B), alpha) -> weighted metric sums (divide by weights.sum())."""

@@ -27,13 +27,12 @@ import numpy as np
 from satae.config import AETrainConfig, DataConfig, MLPTrainConfig, ModelConfig
 from satae.data.pipeline import ArrayDataset
 from satae.io.checkpoint import GridResultStore, save_model
-from satae.models.mlp import mlp_apply, mlp_init
+from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
 from satae.train import hbm
 from satae.train.gridsearch import SweepResult
 from satae.train.loop import LogFn, TrainResult
-from satae.train.losses import accuracy, cross_entropy
-from satae.train.optim import adam_init, adam_update
+from satae.train.optim import adam_init
 
 
 def _slice_tree(tree: Any, i: int) -> Any:
@@ -168,9 +167,12 @@ def ae_vmap_grid_search(
         save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
                    meta={**best_hp, "best_val_loss": global_best})
     gi = global_best_idx
+    # truncate the winner's curves at its own early stop — vmap keeps
+    # training stopped configs (SPMD), but those epochs never counted
+    n_hist = int(min(stopped_at[gi], len(val_loss_hist)))
     history = {
-        "val_loss": [float(v[gi]) for v in val_loss_hist],
-        "val_acc": [float(v[gi]) for v in val_acc_hist],
+        "val_loss": [float(v[gi]) for v in val_loss_hist[:n_hist]],
+        "val_acc": [float(v[gi]) for v in val_acc_hist[:n_hist]],
     }
     best = TrainResult(params, bn_state, global_best,
                        float(best_acc[gi]), int(best_epoch[gi]), epoch + 1,
@@ -206,47 +208,9 @@ def mlp_vmap_grid_search(
     vopt = adam_init(vparams)
     vopt["step"] = jnp.zeros((n_cfg,), jnp.int32)  # per-config step counter
 
-    def epoch_fn(params, bn_state, opt_state, xs, ys, order, key, lr,
-                 weight_decay):
-        def step(carry, batch_idx):
-            params, bn_state, opt_state = carry
-            xb = jnp.take(xs, batch_idx, axis=0)
-            yb = jnp.take(ys, batch_idx, axis=0)
-            dkey = jax.random.fold_in(key, batch_idx[0])
-
-            def loss_fn(p):
-                logits, new_bn = mlp_apply(p, bn_state, xb, train=True,
-                                           cfg=model_cfg, dropout_key=dkey)
-                return cross_entropy(logits, yb), new_bn
-
-            (loss, new_bn), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            params, opt_state = adam_update(params, grads, opt_state, lr,
-                                            weight_decay=weight_decay)
-            return (params, new_bn, opt_state), None
-
-        (params, bn_state, opt_state), _ = jax.lax.scan(
-            step, (params, bn_state, opt_state), order)
-        return params, bn_state, opt_state
-
-    def eval_fn(params, bn_state, xs, ys, wts):
-        def body(carry, batch):
-            xb, yb, wb = batch
-            logits, _ = mlp_apply(params, bn_state, xb, train=False,
-                                  cfg=model_cfg)
-            logz = jax.nn.logsumexp(logits, axis=-1)
-            tl = jnp.take_along_axis(logits, yb[:, None], axis=-1)[:, 0]
-            ce = jnp.sum((logz - tl) * wb)
-            correct = jnp.sum((jnp.argmax(logits, -1) == yb) * wb)
-            return {"loss": carry["loss"] + ce,
-                    "acc": carry["acc"] + correct,
-                    "n": carry["n"] + jnp.sum(wb)}, None
-
-        zeros = jnp.zeros((), jnp.float32)
-        out, _ = jax.lax.scan(body, {"loss": zeros, "acc": zeros, "n": zeros},
-                              (xs, ys, wts))
-        return out
-
+    # shared single-config scan bodies (satae.train.hbm), vmapped over configs
+    epoch_fn = hbm.mlp_train_epoch_body(model_cfg)
+    eval_fn = hbm.mlp_eval_body(model_cfg)
     vepoch = jax.jit(jax.vmap(epoch_fn,
                               in_axes=(0, 0, 0, None, None, None, 0, 0, None)),
                      donate_argnums=(0, 1, 2))
@@ -272,10 +236,9 @@ def mlp_vmap_grid_search(
         order = jnp.asarray(hbm.epoch_order(len(ys), batch_size, seed, epoch))
         ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
                                                                 epoch)
-        vparams, vbn, vopt = vepoch(vparams, vbn, vopt, xs, ys, order, ekeys,
-                                    lrs_d,
-                                    jnp.asarray(mlp_cfg.weight_decay,
-                                                jnp.float32))
+        vparams, vbn, vopt, _tsum = vepoch(
+            vparams, vbn, vopt, xs, ys, order, ekeys, lrs_d,
+            jnp.asarray(mlp_cfg.weight_decay, jnp.float32))
         m = jax.device_get(veval(vparams, vbn, vx, vy, vw))
         val_acc = m["acc"] / m["n"]
         val_loss = m["loss"] / m["n"]
