@@ -17,11 +17,18 @@ from pathlib import Path
 
 
 def _config_from_args(args) -> "PipelineConfig":
-    from satae.config import DataConfig, PipelineConfig, RuntimeConfig
+    from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                              PipelineConfig, RuntimeConfig)
 
+    ae = AETrainConfig() if args.ae_epochs is None else \
+        AETrainConfig(max_epochs=args.ae_epochs)
+    mlp = MLPTrainConfig() if args.mlp_epochs is None else \
+        MLPTrainConfig(epochs=args.mlp_epochs)
     return PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class,
                         cache_dir=args.cache_dir),
+        ae=ae,
+        mlp=mlp,
         runtime=RuntimeConfig(seed=args.seed,
                               parallel_configs=args.parallel,
                               compute_dtype=args.dtype,
@@ -121,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="fused Pallas kernels for encode/predict")
         p.add_argument("--n-devices", type=int, default=None,
                        help="data-parallel device count (grid=False only)")
+        p.add_argument("--ae-epochs", type=int, default=None,
+                       help="override AE max_epochs (default 80)")
+        p.add_argument("--mlp-epochs", type=int, default=None,
+                       help="override MLP epochs (default 30)")
 
     p_fit = sub.add_parser("fit", help="run the full pipeline")
     common(p_fit)

@@ -1,0 +1,36 @@
+"""In-process CLI tests: fit -> evaluate round trip at tiny scale on the CPU
+test platform (the verify skill drives the same flows on TPU)."""
+
+import json
+
+import pytest
+
+from satae.cli import main
+
+
+def test_cli_fit_then_evaluate(tmp_path, capsys):
+    out = str(tmp_path / "run")
+    main(["fit", "--per-class", "12", "--ae-epochs", "1",
+          "--mlp-epochs", "1", "--out", out, "--seed", "0",
+          "--cache-dir", str(tmp_path / "cache")])
+    captured = capsys.readouterr().out
+    summary = json.loads(captured[captured.index("{"):])
+    assert 0.0 <= summary["test_acc"] <= 1.0
+    assert (tmp_path / "run" / "ae_global_best.msgpack").exists()
+    assert (tmp_path / "run" / "classes.json").exists()
+
+    main(["evaluate", "--per-class", "12", "--out", out, "--seed", "0",
+          "--split", "test", "--cache-dir", str(tmp_path / "cache")])
+    report = capsys.readouterr().out
+    assert "weighted avg" in report
+    assert "accuracy:" in report
+    # class names restored from classes.json, not numeric ids
+    assert "SeaLake" in report
+
+
+def test_cli_report_from_artifacts(tmp_path, capsys):
+    results = {f"k{i}": {"alpha": 20.0 + 5 * i, "lr": 1e-3,
+                         "best_val_loss": 0.5 + i} for i in range(3)}
+    (tmp_path / "validation_losses.json").write_text(json.dumps(results))
+    main(["report", "--out", str(tmp_path)])
+    assert (tmp_path / "gridsearch_heatmap.png").exists()
