@@ -31,7 +31,7 @@ def trace(log_dir: str):
 def debug_mode(nans: bool = True):
     import jax
 
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans  # .read() rejects ctx-manager flags
     jax.config.update("jax_debug_nans", nans)
     try:
         yield

@@ -63,6 +63,26 @@ def test_metrics_logger(tmp_path):
     assert records[2]["msg"] == "free-form message"
 
 
+def test_profiler_trace_writes_files(tmp_path):
+    import jax.numpy as jnp
+
+    from satae.utils.profiling import trace
+    with trace(str(tmp_path)):
+        (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
+    traces = list(tmp_path.rglob("*"))
+    assert any(p.is_file() for p in traces), "no trace artifacts written"
+
+
+def test_debug_mode_restores_flag():
+    import jax
+
+    from satae.utils.profiling import debug_mode
+    before = jax.config.jax_debug_nans
+    with debug_mode(nans=True):
+        assert jax.config.jax_debug_nans is True
+    assert jax.config.jax_debug_nans == before
+
+
 def test_stopwatch():
     sw = Stopwatch()
     with sw.stage("a"):
