@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--out", default="benchmarks/full_run")
     ap.add_argument("--data", default=None,
                     help="EuroSAT root dir (default: synthetic stand-in)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"))
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,8 @@ def main() -> None:
 
     cfg = PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class),
-        runtime=RuntimeConfig(parallel_configs=args.vmap),
+        runtime=RuntimeConfig(parallel_configs=args.vmap,
+                              compute_dtype=args.dtype),
     )
     pipe = SatAEPipeline(cfg)
 
@@ -57,6 +60,7 @@ def main() -> None:
         "parallel_configs": args.vmap,
         "per_class": args.per_class,
         "data": args.data or "synthetic",
+        "compute_dtype": args.dtype,
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         **dataclasses.asdict(summary),
     }
