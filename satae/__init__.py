@@ -18,3 +18,12 @@ from satae.config import (  # noqa: F401
     RuntimeConfig,
     default_config,
 )
+
+
+def __getattr__(name):
+    # lazy: importing satae must not pull in jax-heavy modules eagerly
+    if name in ("SatAEPipeline", "fit", "encode", "predict"):
+        from satae import api
+
+        return getattr(api, name)
+    raise AttributeError(name)

@@ -76,6 +76,26 @@ def test_pytree_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["b"]["c"]), np.ones((2, 3)))
 
 
+def test_orbax_backend_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from satae.io.orbax_io import load_model_orbax, save_model_orbax
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    bn = {"m": jnp.ones(3)}
+    save_model_orbax(tmp_path / "ckpt", params, bn, meta={"alpha": 35.0})
+    p2, b2 = load_model_orbax(tmp_path / "ckpt", params, bn)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(b2["m"]), np.asarray(bn["m"]))
+    assert (tmp_path / "ckpt.meta.json").exists()
+
+
+def test_package_level_api_import():
+    import satae
+
+    assert hasattr(satae.SatAEPipeline, "fit")
+    assert callable(satae.fit)
+
+
 def test_grid_store(tmp_path):
     store = GridResultStore(tmp_path / "res.json")
     k1 = GridResultStore.key(alpha=35.0, lr=0.005)
