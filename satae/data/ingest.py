@@ -86,29 +86,36 @@ def _decode(paths: Sequence[Path], image_size: int) -> np.ndarray:
     return _decode_pil(paths, image_size)
 
 
-def _cache_path(cache_dir: str, root: str, image_size: int) -> Path:
-    key = hashlib.sha1(f"{os.path.abspath(root)}:{image_size}".encode()).hexdigest()[:16]
+def _cache_path(cache_dir: str, root: str, image_size: int,
+                n_files: int) -> Path:
+    """Cache key covers the file COUNT as well as root+size, so adding or
+    removing images invalidates the decode cache (a pure-path key would
+    silently serve stale arrays)."""
+    key = hashlib.sha1(
+        f"{os.path.abspath(root)}:{image_size}:{n_files}".encode()
+    ).hexdigest()[:16]
     return Path(cache_dir) / f"eurosat_{key}.npz"
 
 
 def load_folder(root: str, image_size: int = 64,
                 cache_dir: Optional[str] = None) -> RawDataset:
     """Scan + decode a class-subfolder image tree, with an .npz decode cache."""
+    paths, labels, classes = scan_folder(root)
+    if not paths:
+        raise FileNotFoundError(f"no images under {root}")
     if cache_dir:
-        cp = _cache_path(cache_dir, root, image_size)
+        cp = _cache_path(cache_dir, root, image_size, len(paths))
         if cp.exists():
             z = np.load(cp, allow_pickle=False)
             return RawDataset(z["images"], z["labels"],
                               tuple(str(c) for c in z["classes"]))
-    paths, labels, classes = scan_folder(root)
-    if not paths:
-        raise FileNotFoundError(f"no images under {root}")
     images = _decode(paths, image_size)
     ds = RawDataset(images, labels, classes)
     if cache_dir:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        np.savez(_cache_path(cache_dir, root, image_size), images=ds.images,
-                 labels=ds.labels, classes=np.asarray(ds.classes))
+        np.savez(_cache_path(cache_dir, root, image_size, len(paths)),
+                 images=ds.images, labels=ds.labels,
+                 classes=np.asarray(ds.classes))
     return ds
 
 
