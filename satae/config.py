@@ -58,6 +58,15 @@ class DataConfig:
     noise_std: float = 0.03  # Report.md:229
     cache_dir: Optional[str] = None  # decode-once uint8 array cache location
 
+    def __post_init__(self):
+        if abs(sum(self.split_fractions) - 1.0) > 1e-6:
+            raise ValueError(
+                f"split_fractions must sum to 1, got {self.split_fractions}")
+        if self.per_class <= 0 or self.batch_size <= 0:
+            raise ValueError("per_class and batch_size must be positive")
+        if self.noise_std < 0 or self.crop_padding < 0:
+            raise ValueError("noise_std and crop_padding must be >= 0")
+
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:

@@ -27,6 +27,10 @@ def encoder_init(key: jax.Array, cfg: ModelConfig, in_ch: int = 3,
                  ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     chans = (in_ch,) + tuple(cfg.encoder_channels)
     n_blocks = len(cfg.encoder_channels)
+    if image_size % (2 ** n_blocks) != 0:
+        raise ValueError(
+            f"image_size={image_size} must be divisible by 2^{n_blocks} "
+            f"(the {n_blocks} stride-2 encoder blocks halve it each time)")
     keys = jax.random.split(key, n_blocks + 1)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}

@@ -76,6 +76,21 @@ def test_param_count_magnitude():
     assert 1_000_000 < n < 10_000_000
 
 
+def test_invalid_image_size_raises():
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        encoder_init(jax.random.PRNGKey(0), CFG, image_size=50)
+
+
+def test_invalid_config_raises():
+    import pytest
+    from satae.config import DataConfig
+    with pytest.raises(ValueError, match="sum to 1"):
+        DataConfig(split_fractions=(0.5, 0.3, 0.1))
+    with pytest.raises(ValueError, match="positive"):
+        DataConfig(batch_size=0)
+
+
 def test_encoder_jit_and_grad():
     key = jax.random.PRNGKey(0)
     params, state = encoder_init(key, CFG)
