@@ -181,8 +181,15 @@ def batchnorm(params: Params, state: State, x: jax.Array, *, train: bool,
     """
     axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axes)
-        var = jnp.var(x, axes)
+        # one-pass moments: jnp.var re-reads the (large) activation a second
+        # time; E[x^2]-E[x]^2 lets XLA fuse both reductions into one pass —
+        # the train step is HBM-bandwidth-bound (docs/PERF.md). Moments in
+        # f32 regardless of compute dtype.
+        xf = x.astype(jnp.float32)
+        mean32 = jnp.mean(xf, axes)
+        m2 = jnp.mean(jnp.square(xf), axes)
+        var32 = jnp.maximum(m2 - jnp.square(mean32), 0.0)
+        mean, var = mean32.astype(x.dtype), var32.astype(x.dtype)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
