@@ -98,6 +98,31 @@ def cmd_evaluate(args) -> None:
                             Path(args.out) / f"confusion_{args.split}.png")
 
 
+def cmd_extract(args) -> None:
+    """Frozen-encoder latent extraction to .npz (reference C19/C20: the
+    latent TensorDatasets, Report.md:2590-2609)."""
+    import numpy as np
+
+    from satae.api import SatAEPipeline
+    from satae.data.ingest import load_dataset
+    from satae.data.pipeline import make_splits
+    from satae.train.extract import extract_features, make_encode_step
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg).load(args.out)
+    raw = load_dataset(cfg.data)
+    splits = make_splits(raw, cfg.data)
+    enc_p = pipe.ae_params["encoder"]
+    enc_s = pipe.ae_bn_state["encoder"]
+    step = make_encode_step(cfg.model, cfg.compute_dtype)
+    out = Path(args.out)
+    for split in ("train", "val", "test"):
+        X, y = extract_features(enc_p, enc_s, getattr(splits, split),
+                                cfg.model, cfg.data.batch_size, step)
+        np.savez(out / f"latents_{split}.npz", X=X, y=y)
+        print(f"wrote {out / f'latents_{split}.npz'}  X={X.shape}")
+
+
 def cmd_report(args) -> None:
     from satae.eval import plots
 
@@ -149,6 +174,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_eval.add_argument("--split", choices=("train", "val", "test"),
                         default="test")
     p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_ext = sub.add_parser("extract",
+                           help="dump frozen-encoder latents per split")
+    common(p_ext)
+    p_ext.set_defaults(fn=cmd_extract)
 
     p_rep = sub.add_parser("report", help="regenerate figures from artifacts")
     common(p_rep)

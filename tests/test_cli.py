@@ -27,6 +27,13 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
     # class names restored from classes.json, not numeric ids
     assert "SeaLake" in report
 
+    main(["extract", "--per-class", "12", "--out", out, "--seed", "0",
+          "--cache-dir", str(tmp_path / "cache")])
+    import numpy as np
+    z = np.load(tmp_path / "run" / "latents_test.npz")
+    n_test = 120 - int(0.7 * 120) - int(0.15 * 120)
+    assert z["X"].shape == (n_test, 64) and z["y"].shape == (n_test,)
+
 
 def test_cli_report_from_artifacts(tmp_path, capsys):
     results = {f"k{i}": {"alpha": 20.0 + 5 * i, "lr": 1e-3,
