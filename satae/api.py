@@ -67,6 +67,17 @@ class SatAEPipeline:
         45-config AE sweep + 11-lr MLP sweep; ``grid=False`` trains only the
         reference-optimal config (alpha=35, lr=5e-3; MLP lr=1e-4)."""
         cfg = self.config
+        if cfg.runtime.debug_nans:
+            from satae.utils.profiling import debug_mode
+            with debug_mode(nans=True):
+                return self._fit_inner(raw, grid=grid, log=log,
+                                       out_dir=out_dir)
+        return self._fit_inner(raw, grid=grid, log=log, out_dir=out_dir)
+
+    def _fit_inner(self, raw: Optional[RawDataset] = None, *,
+                   grid: bool = False, log=None,
+                   out_dir: Optional[str] = None) -> FitSummary:
+        cfg = self.config
         if grid and cfg.runtime.n_devices:
             raise NotImplementedError(
                 "data-parallel grid search is not wired yet: use grid=False "

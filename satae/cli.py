@@ -33,7 +33,8 @@ def _config_from_args(args) -> "PipelineConfig":
                               parallel_configs=args.parallel,
                               compute_dtype=args.dtype,
                               use_pallas=args.pallas,
-                              n_devices=args.n_devices),
+                              n_devices=args.n_devices,
+                              debug_nans=args.debug_nans),
     )
 
 
@@ -157,6 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
                        help="override AE max_epochs (default 80)")
         p.add_argument("--mlp-epochs", type=int, default=None,
                        help="override MLP epochs (default 30)")
+        p.add_argument("--debug-nans", action="store_true",
+                       help="enable jax_debug_nans (slow; triage runs)")
 
     p_fit = sub.add_parser("fit", help="run the full pipeline")
     common(p_fit)

@@ -115,6 +115,7 @@ class RuntimeConfig:
     mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
     n_devices: Optional[int] = None  # data-parallel device count (None = 1)
     parallel_configs: bool = False  # vmapped grid sweep instead of sequential
+    debug_nans: bool = False  # jax_debug_nans during fit (triage runs)
 
 
 @dataclasses.dataclass(frozen=True)
