@@ -88,8 +88,10 @@ def ae_grid_search(
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
     results: Dict[str, Dict[str, float]] = {}
+    cfg_idx = -1
     for alpha in ae_cfg.alphas:
         for lr in ae_cfg.learning_rates:
+            cfg_idx += 1
             key = GridResultStore.key(alpha=alpha, lr=lr)
             if store is not None and key in store:
                 results[key] = store.results[key]
@@ -100,13 +102,13 @@ def ae_grid_search(
                 res = fast_loop.train_supervised_ae_scan(
                     train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
                     alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
-                    patience=ae_cfg.patience, seed=seed, engine=scan_engine,
-                    device_data=device_data)
+                    patience=ae_cfg.patience, seed=seed + cfg_idx,
+                    engine=scan_engine, device_data=device_data)
             else:
                 res = train_supervised_ae(
                     train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
                     alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
-                    patience=ae_cfg.patience, seed=seed,
+                    patience=ae_cfg.patience, seed=seed + cfg_idx,
                     compute_dtype=compute_dtype,
                     train_step=train_step, eval_step=eval_step)
             summary = {"alpha": alpha, "lr": lr,
@@ -196,7 +198,7 @@ def mlp_grid_search(
             ckpt_meta = json.loads(meta_file.read_text())
             ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
 
-    for lr in mlp_cfg.learning_rates:
+    for cfg_idx, lr in enumerate(mlp_cfg.learning_rates):
         key = GridResultStore.key(lr=lr)
         if store is not None and key in store:
             results[key] = store.results[key]
@@ -207,14 +209,14 @@ def mlp_grid_search(
             res = fast_loop.train_mlp_scan(
                 train_x, train_y, val_x, val_y, model_cfg=model_cfg, lr=lr,
                 weight_decay=mlp_cfg.weight_decay, epochs=mlp_cfg.epochs,
-                batch_size=batch_size, seed=seed, engine=scan_engine,
-                device_data=device_data)
+                batch_size=batch_size, seed=seed + cfg_idx,
+                engine=scan_engine, device_data=device_data)
         else:
             res = train_mlp(train_x, train_y, val_x, val_y,
                             model_cfg=model_cfg,
                             lr=lr, weight_decay=mlp_cfg.weight_decay,
                             epochs=mlp_cfg.epochs, batch_size=batch_size,
-                            seed=seed, train_step=train_step,
+                            seed=seed + cfg_idx, train_step=train_step,
                             eval_step=eval_step)
         summary = {"lr": lr, "best_val_acc": res.best_val_acc,
                    "best_val_loss": res.best_val_loss,
