@@ -87,14 +87,18 @@ def _decode(paths: Sequence[Path], image_size: int) -> np.ndarray:
 
 
 def _cache_path(cache_dir: str, root: str, image_size: int,
-                n_files: int) -> Path:
-    """Cache key covers the file COUNT as well as root+size, so adding or
-    removing images invalidates the decode cache (a pure-path key would
-    silently serve stale arrays)."""
-    key = hashlib.sha1(
-        f"{os.path.abspath(root)}:{image_size}:{n_files}".encode()
-    ).hexdigest()[:16]
-    return Path(cache_dir) / f"eurosat_{key}.npz"
+                paths: Sequence[Path]) -> Path:
+    """Cache key hashes the sorted relative file list (not just the root
+    path), so renames, additions, or swapped class folders invalidate the
+    decode cache instead of silently serving stale arrays. File contents are
+    not hashed (that would cost a full read, defeating the cache); replace
+    the cache_dir when re-encoding images in place."""
+    h = hashlib.sha1(f"{os.path.abspath(root)}:{image_size}".encode())
+    rootp = Path(root)
+    for p in paths:
+        h.update(str(p.relative_to(rootp)).encode())
+        h.update(b"\0")
+    return Path(cache_dir) / f"eurosat_{h.hexdigest()[:16]}.npz"
 
 
 def load_folder(root: str, image_size: int = 64,
@@ -104,7 +108,7 @@ def load_folder(root: str, image_size: int = 64,
     if not paths:
         raise FileNotFoundError(f"no images under {root}")
     if cache_dir:
-        cp = _cache_path(cache_dir, root, image_size, len(paths))
+        cp = _cache_path(cache_dir, root, image_size, paths)
         if cp.exists():
             z = np.load(cp, allow_pickle=False)
             return RawDataset(z["images"], z["labels"],
@@ -113,7 +117,7 @@ def load_folder(root: str, image_size: int = 64,
     ds = RawDataset(images, labels, classes)
     if cache_dir:
         Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        np.savez(_cache_path(cache_dir, root, image_size, len(paths)),
+        np.savez(_cache_path(cache_dir, root, image_size, paths),
                  images=ds.images, labels=ds.labels,
                  classes=np.asarray(ds.classes))
     return ds

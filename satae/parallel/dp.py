@@ -16,58 +16,34 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from satae.config import DataConfig, ModelConfig
-from satae.data.augment import augment_train_batch, normalize
+from satae.data.augment import normalize
 from satae.models.supervised_ae import supervised_ae_apply
-from satae.train.losses import accuracy, joint_ae_loss
-from satae.train.optim import adam_update
 
 
 def make_dp_ae_train_step(mesh: Mesh, model_cfg: ModelConfig,
                           data_cfg: DataConfig, compute_dtype=jnp.float32,
                           axis: str = "data", donate: bool = True):
-    """Batch-sharded version of steps.make_ae_train_step."""
+    """Batch-sharded jit of the SAME step body as the single-device path
+    (satae.train.steps.ae_train_step_body) — only the shardings differ."""
+    from satae.train.steps import ae_train_step_body
+
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))
-
-    def step(params, bn_state, opt_state, imgs_u8, labels, key, alpha, lr):
-        imgs = augment_train_batch(
-            key, imgs_u8, crop_padding=data_cfg.crop_padding,
-            noise_std=data_cfg.noise_std, dtype=compute_dtype)
-
-        def loss_fn(p):
-            (x_hat, logits, _z), new_bn = supervised_ae_apply(
-                p, bn_state, imgs, train=True, cfg=model_cfg)
-            total, mse, ce = joint_ae_loss(x_hat, logits, imgs, labels, alpha)
-            return total, (new_bn, mse, ce, logits)
-
-        (loss, (new_bn, mse, ce, logits)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        params, opt_state = adam_update(params, grads, opt_state, lr)
-        metrics = {"loss": loss, "mse": mse, "ce": ce,
-                   "acc": accuracy(logits, labels)}
-        return params, new_bn, opt_state, metrics
-
     in_shardings = (repl, repl, repl, batch_sh, batch_sh, repl, repl, repl)
     out_shardings = (repl, repl, repl, repl)
-    return jax.jit(step, in_shardings=in_shardings,
-                   out_shardings=out_shardings,
+    return jax.jit(ae_train_step_body(model_cfg, data_cfg, compute_dtype),
+                   in_shardings=in_shardings, out_shardings=out_shardings,
                    donate_argnums=(0, 1, 2) if donate else ())
 
 
 def make_dp_ae_eval_step(mesh: Mesh, model_cfg: ModelConfig,
                          compute_dtype=jnp.float32, axis: str = "data"):
+    from satae.train.steps import ae_eval_step_body
+
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))
-
-    def step(params, bn_state, imgs_u8, labels, alpha):
-        imgs = normalize(imgs_u8, compute_dtype)
-        (x_hat, logits, _z), _ = supervised_ae_apply(
-            params, bn_state, imgs, train=False, cfg=model_cfg)
-        total, mse, ce = joint_ae_loss(x_hat, logits, imgs, labels, alpha)
-        return {"loss": total, "mse": mse, "ce": ce,
-                "acc": accuracy(logits, labels)}
-
-    return jax.jit(step, in_shardings=(repl, repl, batch_sh, batch_sh, repl),
+    return jax.jit(ae_eval_step_body(model_cfg, compute_dtype),
+                   in_shardings=(repl, repl, batch_sh, batch_sh, repl),
                    out_shardings=repl)
 
 
@@ -86,7 +62,7 @@ def make_dp_ae_eval_step_weighted(mesh: Mesh, model_cfg: ModelConfig,
         (x_hat, logits, _z), _ = supervised_ae_apply(
             params, bn_state, imgs, train=False, cfg=model_cfg)
         w4 = weights[:, None, None, None]
-        se = jnp.sum(((x_hat - imgs) ** 2).astype(jnp.float32) * w4) / \
+        se = jnp.sum(jnp.square((x_hat - imgs).astype(jnp.float32)) * w4) / \
             x_hat[0].size
         logits32 = logits.astype(jnp.float32)
         logz = jax.nn.logsumexp(logits32, axis=-1)

@@ -92,6 +92,17 @@ def train_supervised_ae_scan(
     epochs, and an existing checkpoint at that path is resumed from
     automatically — the recovery story the reference has none of
     (SURVEY.md §5)."""
+    if len(train_ds) < data_cfg.batch_size:
+        raise ValueError(
+            f"train split ({len(train_ds)}) is smaller than batch_size "
+            f"({data_cfg.batch_size}); the scan engine trains on full "
+            "batches only — reduce batch_size or use loop.train_supervised_ae")
+    if engine is not None:
+        assert mesh is None or engine.mesh is mesh, \
+            "engine was built with a different mesh than requested"
+        assert engine.compute_dtype == compute_dtype or \
+            compute_dtype == jnp.float32, \
+            "engine was built with a different compute_dtype than requested"
     engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype,
                                     mesh=mesh)
     mesh = engine.mesh
@@ -279,6 +290,10 @@ def train_mlp_scan(
     lr_arr = jnp.asarray(lr, jnp.float32)
     wd_arr = jnp.asarray(weight_decay, jnp.float32)
 
+    if len(train_y) < batch_size:
+        raise ValueError(
+            f"train set ({len(train_y)}) is smaller than batch_size "
+            f"({batch_size}); the scan engine trains on full batches only")
     n_counted = (len(train_y) // batch_size) * batch_size
     history: Dict[str, List[float]] = {
         "train_loss": [], "val_loss": [], "train_acc": [], "val_acc": []}

@@ -87,6 +87,9 @@ def ae_grid_search(
 
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
+    fallback: Optional[TrainResult] = None  # least-bad if ALL diverge
+    fallback_hp: Dict[str, float] = {}
+    fallback_key = float("inf")
     results: Dict[str, Dict[str, float]] = {}
     cfg_idx = -1
     for alpha in ae_cfg.alphas:
@@ -131,11 +134,20 @@ def ae_grid_search(
                                res.params, res.bn_state,
                                meta={**best_hp,
                                      "best_val_loss": res.best_val_loss,
+                                     "best_val_acc": res.best_val_acc,
                                      "best_epoch": res.best_epoch})
+            cand = float(np.nan_to_num(res.best_val_loss, nan=np.inf))
+            if fallback is None or cand < fallback_key:
+                fallback, fallback_hp, fallback_key = (
+                    res, {"alpha": alpha, "lr": lr}, cand)
     if best is None or (ckpt_val < best.best_val_loss):
         # The resumed checkpoint (from cached configs) is the global best —
         # load it back so the returned model matches the recorded winner.
         if not ckpt_meta:
+            if fallback is not None:
+                # every config diverged (inf/NaN val loss): return the
+                # least-bad end-of-run model like the vmapped engine does
+                return SweepResult(fallback, fallback_hp, results)
             raise RuntimeError("AE grid search produced no result and no "
                                "prior checkpoint exists to resume from")
         from satae.io.checkpoint import load_model
@@ -149,7 +161,8 @@ def ae_grid_search(
         best_hp = {"alpha": float(ckpt_meta["alpha"]),
                    "lr": float(ckpt_meta["lr"])}
         best = TrainResult(params, bn_state, ckpt_val,
-                           0.0, int(ckpt_meta.get("best_epoch", -1)), 0, {})
+                           float(ckpt_meta.get("best_val_acc", 0.0)),
+                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
     return SweepResult(best, best_hp, results)
 
 
@@ -242,6 +255,7 @@ def mlp_grid_search(
                 save_model(Path(out_dir) / "mlp_global_best.msgpack",
                            res.params, res.bn_state,
                            meta={**best_hp, "best_val_acc": res.best_val_acc,
+                                 "best_val_loss": res.best_val_loss,
                                  "best_epoch": res.best_epoch})
     if best is None or ckpt_acc > best.best_val_acc:
         # the resumed checkpoint (from cached configs) remains the winner
@@ -257,6 +271,8 @@ def mlp_grid_search(
         params, bn_state = load_model(
             Path(out_dir) / "mlp_global_best.msgpack", tmpl_p, tmpl_s)
         best_hp = {"lr": float(ckpt_meta["lr"])}
-        best = TrainResult(params, bn_state, float("inf"), ckpt_acc,
-                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
+        best = TrainResult(params, bn_state,
+                           float(ckpt_meta.get("best_val_loss", float("inf"))),
+                           ckpt_acc, int(ckpt_meta.get("best_epoch", -1)),
+                           0, {})
     return SweepResult(best, best_hp, results)

@@ -199,10 +199,14 @@ def ae_eval_body(model_cfg: ModelConfig, compute_dtype=jnp.float32):
             params, bn_state, imgs, train=False, cfg=model_cfg)
         w = wts[:, None, None, None]
         nw = jnp.sum(wts)
-        # weighted MSE/CE that ignore padding rows
-        se = jnp.sum(((x_hat - imgs) ** 2) * w) / x_hat[0].size
-        logz = jax.nn.logsumexp(logits, axis=-1)
-        tl = jnp.take_along_axis(logits, labs[:, None], axis=-1)[:, 0]
+        # weighted MSE/CE that ignore padding rows; f32 accumulation so the
+        # selection metric is dtype-independent (bf16 logits would perturb
+        # val-loss-driven early stopping / grid selection)
+        se = jnp.sum(jnp.square((x_hat - imgs).astype(jnp.float32)) * w) \
+            / x_hat[0].size
+        logits32 = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(logits32, axis=-1)
+        tl = jnp.take_along_axis(logits32, labs[:, None], axis=-1)[:, 0]
         ce = jnp.sum((logz - tl) * wts)
         correct = jnp.sum((jnp.argmax(logits, -1) == labs) * wts)
         msum = carry

@@ -47,16 +47,25 @@ def _weighted_mean(metric_sums: Dict[str, float], n: int) -> Dict[str, float]:
     return {k: v / n for k, v in metric_sums.items()}
 
 
-def _accumulate(sums: Dict[str, float], metrics: Dict[str, jax.Array],
-                bs: int) -> None:
-    host = jax.device_get(metrics)
-    for k, v in host.items():
-        sums[k] = sums.get(k, 0.0) + float(v) * bs
+def _reduce_batches(per_batch) -> Dict[str, float]:
+    """ONE device->host transfer for a whole epoch's worth of
+    (metrics, batch_size) pairs — a per-step device_get would block the
+    dispatch queue on every batch (the reference's `.item()` stall,
+    Report.md:657)."""
+    if not per_batch:
+        return {}
+    host = jax.device_get([metrics for metrics, _ in per_batch])
+    sizes = [bs for _, bs in per_batch]
+    sums: Dict[str, float] = {}
+    for metrics, bs in zip(host, sizes):
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * bs
+    return sums
 
 
 def run_eval(eval_step, params, bn_state, ds: ArrayDataset, batch_size: int,
              extra_args: Tuple = (), shard=None) -> Dict[str, float]:
-    sums: Dict[str, float] = {}
+    per_batch = []
     n = 0
     for imgs, labels in iter_batches(ds, batch_size, shuffle=False):
         if shard is not None:
@@ -64,9 +73,9 @@ def run_eval(eval_step, params, bn_state, ds: ArrayDataset, batch_size: int,
             if len(labels) == 0:
                 continue
         metrics = eval_step(params, bn_state, imgs, labels, *extra_args)
-        _accumulate(sums, metrics, len(labels))
+        per_batch.append((metrics, len(labels)))
         n += len(labels)
-    return _weighted_mean(sums, n)
+    return _weighted_mean(_reduce_batches(per_batch), n)
 
 
 def train_supervised_ae(
@@ -121,8 +130,9 @@ def train_supervised_ae(
 
         def dp_eval(params, bn_state, ds, alpha):
             # evaluation: zero-weight padding instead of truncation, so val
-            # metrics (and therefore best-epoch selection) cover every sample
-            sums: Dict[str, float] = {}
+            # metrics (and therefore best-epoch selection) cover every sample;
+            # metric sums stay on device until one fetch at the end
+            device_sums = []
             for imgs, labs in iter_batches(ds, data_cfg.batch_size,
                                            shuffle=False):
                 pad = (-len(labs)) % n_dev
@@ -133,10 +143,12 @@ def train_supervised_ae(
                         [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
                     labs = np.concatenate(
                         [labs, np.zeros((pad,), labs.dtype)])
-                m = eval_w(params, bn_state,
-                           *shard_batch(mesh, imgs, labs, w), alpha)
-                host = jax.device_get(m)
-                for k, v in host.items():
+                device_sums.append(eval_w(
+                    params, bn_state, *shard_batch(mesh, imgs, labs, w),
+                    alpha))
+            sums: Dict[str, float] = {}
+            for m in jax.device_get(device_sums):
+                for k, v in m.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             n = sums.pop("n")
             return {k: v / n for k, v in sums.items()}
@@ -159,8 +171,8 @@ def train_supervised_ae(
     epoch = 0
 
     for epoch in range(max_epochs):
-        sums: Dict[str, float] = {}
         n_seen = 0
+        per_batch = []
         for step_i, (imgs, labels) in enumerate(
                 iter_batches(train_ds, data_cfg.batch_size, shuffle=True,
                              seed=seed, epoch=epoch)):
@@ -172,9 +184,9 @@ def train_supervised_ae(
             params, bn_state, opt_state, metrics = train_step(
                 params, bn_state, opt_state, imgs, labels, step_key,
                 alpha_arr, lr_arr)
-            _accumulate(sums, metrics, len(labels))
+            per_batch.append((metrics, len(labels)))
             n_seen += len(labels)
-        train_m = _weighted_mean(sums, n_seen)
+        train_m = _weighted_mean(_reduce_batches(per_batch), n_seen)
         if dp_eval is not None:
             val_m = dp_eval(params, bn_state, val_ds, alpha_arr)
         else:
@@ -238,15 +250,15 @@ def train_mlp(
     best_bn = jax.device_get(bn_state)
 
     for epoch in range(epochs):
-        sums: Dict[str, float] = {}
+        per_batch = []
         for step_i, (xb, yb) in enumerate(
                 iter_batches(train_ds, batch_size, shuffle=True, seed=seed,
                              epoch=epoch)):
             step_key = jax.random.fold_in(jax.random.fold_in(key, epoch), step_i)
             params, bn_state, opt_state, metrics = train_step(
                 params, bn_state, opt_state, xb, yb, step_key, lr_arr, wd_arr)
-            _accumulate(sums, metrics, len(yb))
-        train_m = _weighted_mean(sums, len(train_ds))
+            per_batch.append((metrics, len(yb)))
+        train_m = _weighted_mean(_reduce_batches(per_batch), len(train_ds))
         val_m = run_eval(eval_step, params, bn_state, val_ds, batch_size)
         history["train_loss"].append(train_m["loss"])
         history["train_acc"].append(train_m["acc"])

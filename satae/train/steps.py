@@ -33,8 +33,12 @@ Metrics = Dict[str, jax.Array]
 # Supervised AE
 # ---------------------------------------------------------------------------
 
-def make_ae_train_step(model_cfg: ModelConfig, data_cfg: DataConfig,
-                       compute_dtype=jnp.float32, donate: bool = True):
+def ae_train_step_body(model_cfg: ModelConfig, data_cfg: DataConfig,
+                       compute_dtype=jnp.float32):
+    """The un-jitted step body — shared by the single-device step below and
+    the sharded DP step (satae.parallel.dp), so there is exactly one source
+    of truth for the train-step semantics."""
+
     def step(params, bn_state, opt_state, imgs_u8, labels, key, alpha, lr
              ) -> Tuple[Any, Any, Any, Metrics]:
         imgs = augment_train_batch(
@@ -54,11 +58,10 @@ def make_ae_train_step(model_cfg: ModelConfig, data_cfg: DataConfig,
                    "acc": accuracy(logits, labels)}
         return params, new_bn, opt_state, metrics
 
-    donate_argnums = (0, 1, 2) if donate else ()
-    return jax.jit(step, donate_argnums=donate_argnums)
+    return step
 
 
-def make_ae_eval_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
+def ae_eval_step_body(model_cfg: ModelConfig, compute_dtype=jnp.float32):
     def step(params, bn_state, imgs_u8, labels, alpha) -> Metrics:
         imgs = normalize(imgs_u8, compute_dtype)
         (x_hat, logits, _z), _ = supervised_ae_apply(
@@ -67,7 +70,18 @@ def make_ae_eval_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
         return {"loss": total, "mse": mse, "ce": ce,
                 "acc": accuracy(logits, labels)}
 
-    return jax.jit(step)
+    return step
+
+
+def make_ae_train_step(model_cfg: ModelConfig, data_cfg: DataConfig,
+                       compute_dtype=jnp.float32, donate: bool = True):
+    donate_argnums = (0, 1, 2) if donate else ()
+    return jax.jit(ae_train_step_body(model_cfg, data_cfg, compute_dtype),
+                   donate_argnums=donate_argnums)
+
+
+def make_ae_eval_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
+    return jax.jit(ae_eval_step_body(model_cfg, compute_dtype))
 
 
 # ---------------------------------------------------------------------------
