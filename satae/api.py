@@ -78,27 +78,38 @@ class SatAEPipeline:
                    grid: bool = False, log=None,
                    out_dir: Optional[str] = None) -> FitSummary:
         cfg = self.config
-        if grid and cfg.runtime.n_devices:
-            raise NotImplementedError(
-                "data-parallel grid search is not wired yet: use grid=False "
-                "with n_devices, or grid=True single-device")
         raw = raw or load_dataset(cfg.data)
         splits = make_splits(raw, cfg.data)
         self.classes = splits.classes
         dtype = cfg.compute_dtype
 
         if grid:
-            if cfg.runtime.parallel_configs:
+            if cfg.runtime.n_devices:
+                # config-parallel sweep over the mesh: one grid config per
+                # device per round, standard convs, zero collectives
+                from satae.parallel import make_mesh
+                from satae.train.shard_sweep import ae_sharded_grid_search
+                mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+                sweep = ae_sharded_grid_search(
+                    splits.train, splits.val, model_cfg=cfg.model,
+                    data_cfg=cfg.data, ae_cfg=cfg.ae, mesh=mesh,
+                    seed=cfg.runtime.seed, out_dir=out_dir,
+                    compute_dtype=dtype, log=log,
+                    mesh_axis=cfg.runtime.mesh_axis,
+                    save_curves=cfg.runtime.save_grid_curves)
+            elif cfg.runtime.parallel_configs:
                 from satae.train.vmap_sweep import ae_vmap_grid_search
                 sweep = ae_vmap_grid_search(
                     splits.train, splits.val, model_cfg=cfg.model,
                     data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
-                    out_dir=out_dir, compute_dtype=dtype, log=log)
+                    out_dir=out_dir, compute_dtype=dtype, log=log,
+                    save_curves=cfg.runtime.save_grid_curves)
             else:
                 sweep = ae_grid_search(
                     splits.train, splits.val, model_cfg=cfg.model,
                     data_cfg=cfg.data, ae_cfg=cfg.ae, seed=cfg.runtime.seed,
-                    out_dir=out_dir, compute_dtype=dtype, log=log)
+                    out_dir=out_dir, compute_dtype=dtype, log=log,
+                    save_curves=cfg.runtime.save_grid_curves)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
         elif cfg.runtime.n_devices:
             from satae.parallel import make_mesh
@@ -132,17 +143,29 @@ class SatAEPipeline:
                                     cfg.data.batch_size, encode_step)
 
         if grid:
-            if cfg.runtime.parallel_configs:
+            if cfg.runtime.n_devices:
+                from satae.parallel import make_mesh
+                from satae.train.shard_sweep import mlp_sharded_grid_search
+                mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+                msweep = mlp_sharded_grid_search(
+                    Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
+                    mesh=mesh, batch_size=cfg.data.batch_size,
+                    seed=cfg.runtime.seed, out_dir=out_dir, log=log,
+                    test_x=Xte, test_y=yte, mesh_axis=cfg.runtime.mesh_axis,
+                    save_curves=cfg.runtime.save_grid_curves)
+            elif cfg.runtime.parallel_configs:
                 from satae.train.vmap_sweep import mlp_vmap_grid_search
                 msweep = mlp_vmap_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
-                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte)
+                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte,
+                    save_curves=cfg.runtime.save_grid_curves)
             else:
                 msweep = mlp_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     batch_size=cfg.data.batch_size, seed=cfg.runtime.seed,
-                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte)
+                    out_dir=out_dir, log=log, test_x=Xte, test_y=yte,
+                    save_curves=cfg.runtime.save_grid_curves)
             mlp_res, mlp_hp = msweep.best, msweep.best_hparams
         else:
             from satae.train.fast_loop import train_mlp_scan

@@ -26,7 +26,9 @@ def _config_from_args(args) -> "PipelineConfig":
         MLPTrainConfig(epochs=args.mlp_epochs)
     return PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class,
-                        cache_dir=args.cache_dir),
+                        cache_dir=args.cache_dir,
+                        synthetic_difficulty=getattr(
+                            args, "synthetic_difficulty", "easy")),
         ae=ae,
         mlp=mlp,
         runtime=RuntimeConfig(seed=args.seed,
@@ -34,7 +36,9 @@ def _config_from_args(args) -> "PipelineConfig":
                               compute_dtype=args.dtype,
                               use_pallas=args.pallas,
                               n_devices=args.n_devices,
-                              debug_nans=args.debug_nans),
+                              debug_nans=args.debug_nans,
+                              save_grid_curves=getattr(args, "save_curves",
+                                                       False)),
     )
 
 
@@ -63,7 +67,9 @@ def cmd_calibrate(args) -> None:
     from satae.train.calibrate import CalibrationSummary, loss_ratio_calibration
 
     data_cfg = DataConfig(root=args.data, per_class=args.per_class,
-                          cache_dir=args.cache_dir)
+                          cache_dir=args.cache_dir,
+                          synthetic_difficulty=getattr(
+                              args, "synthetic_difficulty", "easy"))
     raw = load_dataset(data_cfg)
     splits = make_splits(raw, data_cfg)
     imgs, labels = next(iter_batches(splits.train, data_cfg.batch_size,
@@ -143,6 +149,11 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--data", default=None, help="EuroSAT root directory")
         p.add_argument("--cache-dir", default=".satae_cache")
         p.add_argument("--per-class", type=int, default=2000)
+        p.add_argument("--synthetic-difficulty", default="easy",
+                       choices=("easy", "hard"),
+                       help="synthetic stand-in tier when --data is absent: "
+                            "'hard' targets a 60-90%% accuracy band so grid "
+                            "selection discriminates")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--out", default="runs/default")
         p.add_argument("--parallel", action="store_true",
@@ -153,7 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("--pallas", action="store_true",
                        help="fused Pallas kernels for encode/predict")
         p.add_argument("--n-devices", type=int, default=None,
-                       help="data-parallel device count (grid=False only)")
+                       help="device count: data-parallel training "
+                            "(grid=False) or config-parallel sweeps "
+                            "(grid=True, one config per device per round)")
         p.add_argument("--ae-epochs", type=int, default=None,
                        help="override AE max_epochs (default 80)")
         p.add_argument("--mlp-epochs", type=int, default=None,
@@ -165,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
     common(p_fit)
     p_fit.add_argument("--grid", action="store_true",
                        help="full 45-config AE grid + 11-lr MLP grid")
+    p_fit.add_argument("--save-curves", action="store_true",
+                       help="save per-config curve PNGs under OUT/curves/ "
+                            "(the reference's per-LR figures)")
     p_fit.set_defaults(fn=cmd_fit)
 
     p_cal = sub.add_parser("calibrate", help="CE/MSE loss-scale experiment")

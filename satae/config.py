@@ -57,6 +57,7 @@ class DataConfig:
     crop_padding: int = 4  # Report.md:227
     noise_std: float = 0.03  # Report.md:229
     cache_dir: Optional[str] = None  # decode-once uint8 array cache location
+    synthetic_difficulty: str = "easy"  # "hard" = non-saturating stand-in tier
 
     def __post_init__(self):
         if abs(sum(self.split_fractions) - 1.0) > 1e-6:
@@ -116,6 +117,7 @@ class RuntimeConfig:
     n_devices: Optional[int] = None  # data-parallel device count (None = 1)
     parallel_configs: bool = False  # vmapped grid sweep instead of sequential
     debug_nans: bool = False  # jax_debug_nans during fit (triage runs)
+    save_grid_curves: bool = False  # per-config curve PNGs under out_dir/curves/
 
 
 @dataclasses.dataclass(frozen=True)

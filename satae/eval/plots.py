@@ -119,6 +119,27 @@ def accuracy_curves(history: Dict[str, list], path: str | Path,
     return _save(fig, path)
 
 
+def lr_curves(history: Dict[str, list], path: str | Path,
+              title: str = "Curves") -> Path:
+    """Per-config loss + accuracy panel, the reference's per-LR figure
+    (Report.md:2706-2722: one loss plot and one accuracy plot per grid LR)."""
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for k in ("train_loss", "val_loss"):
+        if history.get(k):
+            ax1.plot(history[k], label=k)
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("loss")
+    ax1.legend()
+    for k in ("train_acc", "val_acc"):
+        if history.get(k):
+            ax2.plot(history[k], label=k)
+    ax2.set_xlabel("epoch")
+    ax2.set_ylabel("accuracy")
+    ax2.legend()
+    fig.suptitle(title)
+    return _save(fig, path)
+
+
 def confusion_display(cm: np.ndarray, classes: Sequence[str],
                       path: str | Path) -> Path:
     cm = np.asarray(cm)

@@ -75,7 +75,7 @@ def train_supervised_ae_scan(
     engine: Optional[AEScanEngine] = None,
     log: Optional[LogFn] = None,
     device_data=None,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
     mesh=None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
@@ -100,11 +100,18 @@ def train_supervised_ae_scan(
     if engine is not None:
         assert mesh is None or engine.mesh is mesh, \
             "engine was built with a different mesh than requested"
-        assert engine.compute_dtype == compute_dtype or \
-            compute_dtype == jnp.float32, \
-            "engine was built with a different compute_dtype than requested"
-    engine = engine or AEScanEngine(model_cfg, data_cfg, compute_dtype,
-                                    mesh=mesh)
+        # compute_dtype=None means "inherit from engine"; anything explicit
+        # must match exactly — a bf16 engine silently serving an (implicit)
+        # f32 request was a real trap, so no default-coercion escape hatch.
+        if compute_dtype is not None and engine.compute_dtype != compute_dtype:
+            raise ValueError(
+                f"engine was built with compute_dtype="
+                f"{jnp.dtype(engine.compute_dtype).name}, but "
+                f"{jnp.dtype(compute_dtype).name} was requested; pass "
+                "compute_dtype=None to inherit the engine's dtype")
+    engine = engine or AEScanEngine(
+        model_cfg, data_cfg,
+        jnp.float32 if compute_dtype is None else compute_dtype, mesh=mesh)
     mesh = engine.mesh
     if device_data is None:
         device_data = upload_ae_data(train_ds, val_ds, data_cfg.batch_size,

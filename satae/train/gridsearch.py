@@ -51,6 +51,7 @@ def ae_grid_search(
     compute_dtype=jnp.float32,
     log: Optional[LogFn] = None,
     engine: str = "scan",
+    save_curves: bool = False,
 ) -> SweepResult:
     """Sequential alpha x lr sweep with per-config result flushing and a
     global-best checkpoint (`ae_global_best.msgpack`, the reference's
@@ -122,6 +123,12 @@ def ae_grid_search(
             results[key] = summary
             if store is not None:
                 store.record(key, summary)
+            if save_curves and out_dir and res.history:
+                from satae.eval import plots
+                plots.loss_curves(
+                    res.history,
+                    Path(out_dir) / "curves" / f"ae_alpha{alpha:g}_lr{lr:g}.png",
+                    title=f"AE alpha={alpha:g} lr={lr:g}")
             if log:
                 log(f"alpha={alpha} lr={lr}: val_loss={res.best_val_loss:.4f} "
                     f"({res.epochs_run} epochs)")
@@ -146,7 +153,17 @@ def ae_grid_search(
         if not ckpt_meta:
             if fallback is not None:
                 # every config diverged (inf/NaN val loss): return the
-                # least-bad end-of-run model like the vmapped engine does
+                # least-bad end-of-run model like the vmapped engine does —
+                # and still write the checkpoint, so a later evaluate/load
+                # on out_dir never sees a missing/stale ae_global_best
+                if out_dir:
+                    save_model(Path(out_dir) / "ae_global_best.msgpack",
+                               fallback.params, fallback.bn_state,
+                               meta={**fallback_hp,
+                                     "best_val_loss": fallback.best_val_loss,
+                                     "best_val_acc": fallback.best_val_acc,
+                                     "best_epoch": fallback.best_epoch,
+                                     "diverged": True})
                 return SweepResult(fallback, fallback_hp, results)
             raise RuntimeError("AE grid search produced no result and no "
                                "prior checkpoint exists to resume from")
@@ -179,6 +196,7 @@ def mlp_grid_search(
     engine: str = "scan",
     test_x: Optional[np.ndarray] = None,
     test_y: Optional[np.ndarray] = None,
+    save_curves: bool = False,
 ) -> SweepResult:
     """11-point lr sweep over the latent MLP; global best by val accuracy
     (`mlp_global_best.msgpack`, the reference's MLP_GLOBAL_BEST.pt).
@@ -245,6 +263,11 @@ def mlp_grid_search(
         results[key] = summary
         if store is not None:
             store.record(key, summary)
+        if save_curves and out_dir and res.history:
+            from satae.eval import plots
+            plots.lr_curves(res.history,
+                            Path(out_dir) / "curves" / f"mlp_lr{lr:g}.png",
+                            title=f"MLP lr={lr:g}")
         if log:
             log(f"lr={lr}: val_acc={res.best_val_acc:.4f}")
         if (best is None or res.best_val_acc > best.best_val_acc) \

@@ -1,0 +1,514 @@
+"""Device-sharded hyperparameter sweeps: one grid config per device.
+
+The reference's 45-config AE grid (Report.md:595-730) and 11-lr MLP grid
+(Report.md:2611) are embarrassingly parallel across configs (SURVEY.md §3.3).
+This engine shards the CONFIG axis over a ``jax.sharding.Mesh``: each round
+trains ``n_devices`` configs simultaneously via ``jax.shard_map``, every
+device running the standard single-config scan-epoch body (satae.train.hbm)
+on its own replica of the HBM-resident dataset. Because each device sees a
+plain (non-vmapped) program, the convolutions stay ordinary XLA convs — none
+of the grouped-conv MXU penalty the all-configs vmap pays (see
+fast_loop.py's measured head-to-head) — and there are ZERO cross-device
+collectives: the mesh is used purely as a config-parallel work partitioner.
+
+Seeding/selection parity: config ``i`` (its index in the full grid) trains
+with exactly the same init key, per-epoch shuffle order, and augmentation
+keys as the sequential engine (gridsearch.ae_grid_search with seed+i), so a
+sharded sweep selects the same winner as the sequential one up to reduction
+order.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                          ModelConfig)
+from satae.data.pipeline import ArrayDataset
+from satae.io.checkpoint import GridResultStore, save_model
+from satae.models.mlp import mlp_init
+from satae.models.supervised_ae import supervised_ae_init
+from satae.train import hbm
+from satae.train.gridsearch import SweepResult
+from satae.train.loop import LogFn, TrainResult
+from satae.train.optim import adam_init
+
+
+def _squeeze0(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: x[0], tree)
+
+
+def _expand0(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: x[None], tree)
+
+
+def _slice_tree(tree: Any, i: int) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
+
+
+def _shard_cfg_axis(mesh, tree: Any, axis: str) -> Any:
+    """device_put a config-stacked pytree with axis 0 sharded over the mesh."""
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, tree)
+
+
+def _replicate(mesh, tree: Any) -> Any:
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+class ShardedSweepEngine:
+    """Compiled shard_map programs: per-device single-config train epoch +
+    eval, with the config axis laid over the mesh. One compilation serves
+    every round of every sweep (alpha/lr/keys are traced)."""
+
+    def __init__(self, train_body, eval_body, mesh, axis: str = "data", *,
+                 n_scalar_train: int, n_scalar_eval: int):
+        # train_body(params, bn, opt, data..., order, key, scalars...) where
+        # everything except the data arrays carries a leading config axis.
+        self.mesh = mesh
+        self.axis = axis
+        cfg = P(axis)
+        rep = P()
+
+        def train_dev(params, bn, opt, data, order, key, scalars):
+            out = train_body(_squeeze0(params), _squeeze0(bn), _squeeze0(opt),
+                             *data, order[0], key[0],
+                             *(s[0] for s in scalars))
+            return tuple(_expand0(t) for t in out)
+
+        def eval_dev(params, bn, data, scalars):
+            out = eval_body(_squeeze0(params), _squeeze0(bn), *data,
+                            *(s[0] for s in scalars))
+            return _expand0(out)
+
+        # check_vma=False: the scan carries inside the shared epoch bodies
+        # start from unvarying jnp.zeros(()) literals, which trips the
+        # varying-mesh-axes check even though the program is collective-free
+        # (each device is a fully independent single-config training).
+        self.train_round_epoch = jax.jit(
+            jax.shard_map(
+                train_dev, mesh=mesh,
+                in_specs=(cfg, cfg, cfg, rep, cfg, cfg,
+                          (cfg,) * n_scalar_train),
+                out_specs=(cfg, cfg, cfg, cfg), check_vma=False),
+            donate_argnums=(0, 1, 2))
+        self.eval_round = jax.jit(
+            jax.shard_map(
+                eval_dev, mesh=mesh,
+                in_specs=(cfg, cfg, rep, (cfg,) * n_scalar_eval),
+                out_specs=cfg, check_vma=False))
+
+
+def _chunk_pad(items: List, n: int) -> List[Tuple[List, np.ndarray]]:
+    """Split into rounds of exactly n, padding the last round by repeating
+    its final item; returns [(round_items, real_mask)]."""
+    rounds = []
+    for lo in range(0, len(items), n):
+        chunk = list(items[lo:lo + n])
+        mask = np.zeros((n,), bool)
+        mask[:len(chunk)] = True
+        while len(chunk) < n:
+            chunk.append(chunk[-1])
+        rounds.append((chunk, mask))
+    return rounds
+
+
+def ae_sharded_grid_search(
+    train_ds: ArrayDataset,
+    val_ds: ArrayDataset,
+    *,
+    model_cfg: ModelConfig,
+    data_cfg: DataConfig,
+    ae_cfg: AETrainConfig,
+    mesh,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    log: Optional[LogFn] = None,
+    mesh_axis: str = "data",
+    save_curves: bool = False,
+) -> SweepResult:
+    """Config-sharded alpha x lr sweep: n_devices configs per round, each on
+    its own device (reference C16 over the mesh). Same caching/resume/global
+    -best-checkpoint contract as gridsearch.ae_grid_search."""
+    n_dev = int(mesh.devices.size)
+    hparams = [(float(a), float(lr)) for a in ae_cfg.alphas
+               for lr in ae_cfg.learning_rates]
+    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
+        if out_dir else None
+
+    # resume protection (identical contract to the sequential engine): the
+    # existing global-best checkpoint competes with freshly trained configs
+    ckpt_val = float("inf")
+    ckpt_meta: Dict[str, float] = {}
+    if out_dir:
+        meta_file = Path(out_dir) / "ae_global_best.json"
+        if meta_file.exists():
+            ckpt_meta = json.loads(meta_file.read_text())
+            ckpt_val = float(ckpt_meta.get("best_val_loss", float("inf")))
+
+    results: Dict[str, Dict[str, float]] = {}
+    pending: List[Tuple[int, float, float]] = []  # (cfg_idx, alpha, lr)
+    for ci, (alpha, lr) in enumerate(hparams):
+        key = GridResultStore.key(alpha=alpha, lr=lr)
+        if store is not None and key in store:
+            results[key] = store.results[key]
+            if log:
+                log(f"skip cached alpha={alpha} lr={lr}")
+        else:
+            pending.append((ci, alpha, lr))
+
+    engine = ShardedSweepEngine(
+        hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype),
+        hbm.ae_eval_body(model_cfg, compute_dtype),
+        mesh, mesh_axis, n_scalar_train=2, n_scalar_eval=1)
+
+    images = _replicate(mesh, jnp.asarray(train_ds.images))
+    labels = _replicate(mesh, jnp.asarray(train_ds.labels))
+    val_data = _replicate(
+        mesh, tuple(jnp.asarray(a) for a in
+                    hbm.padded_eval_batches(val_ds, data_cfg.batch_size)))
+    n_train_counted = (len(train_ds) // data_cfg.batch_size) \
+        * data_cfg.batch_size
+
+    hist_keys = ("loss", "mse", "ce", "acc")
+    best: Optional[TrainResult] = None
+    best_hp: Dict[str, float] = {}
+    fallback_key = float("inf")
+    fallback: Optional[TrainResult] = None
+    fallback_hp: Dict[str, float] = {}
+
+    for chunk, mask in _chunk_pad(pending, n_dev):
+        cfg_idx = np.array([c[0] for c in chunk])
+        alphas = jnp.asarray([c[1] for c in chunk], jnp.float32)
+        lrs = jnp.asarray([c[2] for c in chunk], jnp.float32)
+
+        # per-config seeding exactly like the sequential engine (seed+ci)
+        base_keys = jnp.stack([jax.random.PRNGKey(seed + int(ci))
+                               for ci in cfg_idx])
+        split2 = jax.vmap(lambda k: tuple(jax.random.split(k)))
+        init_keys, loop_keys = split2(base_keys)
+        vparams, vbn = jax.vmap(
+            lambda k: supervised_ae_init(k, model_cfg,
+                                         in_ch=data_cfg.channels,
+                                         image_size=data_cfg.image_size)
+        )(init_keys)
+        vopt = adam_init(vparams)
+        vopt["step"] = jnp.zeros((n_dev,), jnp.int32)
+        vparams = _shard_cfg_axis(mesh, vparams, mesh_axis)
+        vbn = _shard_cfg_axis(mesh, vbn, mesh_axis)
+        vopt = _shard_cfg_axis(mesh, vopt, mesh_axis)
+        alphas = _shard_cfg_axis(mesh, alphas, mesh_axis)
+        lrs = _shard_cfg_axis(mesh, lrs, mesh_axis)
+        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), mesh_axis)
+
+        history = {f"{p}_{k}": [[] for _ in range(n_dev)]
+                   for p in ("train", "val") for k in hist_keys}
+        best_val = np.full((n_dev,), np.inf)
+        best_acc = np.zeros((n_dev,))
+        best_epoch = np.full((n_dev,), -1, np.int64)
+        bad = np.zeros((n_dev,), np.int64)
+        active = mask.copy()
+        stopped_at = np.where(mask, ae_cfg.max_epochs, 0).astype(np.int64)
+        round_best_snaps: Dict[int, Any] = {}
+
+        epoch = -1
+        for epoch in range(ae_cfg.max_epochs):
+            order = jnp.asarray(np.stack(
+                [hbm.epoch_order(len(train_ds), data_cfg.batch_size,
+                                 seed + int(ci), epoch) for ci in cfg_idx]))
+            order = _shard_cfg_axis(mesh, order, mesh_axis)
+            ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                loop_keys, epoch)
+            vparams, vbn, vopt, tsum = engine.train_round_epoch(
+                vparams, vbn, vopt, (images, labels), order, ekeys,
+                (alphas, lrs))
+            vsum = engine.eval_round(vparams, vbn, val_data, (alphas,))
+            tsum, vsum = jax.device_get((tsum, vsum))
+            nv = vsum["n"]
+            for k in hist_keys:
+                for i in range(n_dev):
+                    history[f"train_{k}"][i].append(
+                        float(tsum[k][i]) / n_train_counted)
+                    history[f"val_{k}"][i].append(
+                        float(vsum[k][i]) / float(nv[i]))
+            val_loss = vsum["loss"] / nv
+            val_acc = vsum["acc"] / nv
+
+            improved = active & (val_loss < best_val)
+            best_val = np.where(improved, val_loss, best_val)
+            best_acc = np.where(improved, val_acc, best_acc)
+            best_epoch = np.where(improved, epoch, best_epoch)
+            bad = np.where(improved, 0, bad + 1)
+            newly_stopped = active & (bad >= ae_cfg.patience)
+            stopped_at = np.where(newly_stopped, epoch + 1, stopped_at)
+            active &= ~newly_stopped
+
+            # true best-epoch snapshots, only for configs that could still
+            # become the global winner (ckpt_val guards resume parity)
+            for i in np.flatnonzero(improved):
+                if val_loss[i] < min(ckpt_val, fallback_key if best is None
+                                     else best.best_val_loss):
+                    round_best_snaps[i] = (_slice_tree(vparams, i),
+                                           _slice_tree(vbn, i))
+            if log:
+                log(f"round epoch {epoch:3d}: active={int(active.sum())}"
+                    f"/{int(mask.sum())} best={np.nanmin(best_val):.4f}")
+            if not active.any():
+                break
+
+        for i in np.flatnonzero(mask):
+            ci, alpha, lr = chunk[i]
+            key = GridResultStore.key(alpha=alpha, lr=lr)
+            n_hist = int(min(stopped_at[i], epoch + 1))
+            summary = {"alpha": alpha, "lr": lr,
+                       "best_val_loss": float(best_val[i]),
+                       "best_val_acc": float(best_acc[i]),
+                       "best_epoch": int(best_epoch[i]),
+                       "epochs_run": n_hist}
+            results[key] = summary
+            if store is not None:
+                store.record(key, summary)
+            if log:
+                log(f"alpha={alpha} lr={lr}: val_loss={best_val[i]:.4f} "
+                    f"({n_hist} epochs)")
+            cand_hist = {k: history[k][i][:n_hist] for k in history}
+            if save_curves and out_dir:
+                from satae.eval import plots
+                plots.loss_curves(
+                    cand_hist,
+                    Path(out_dir) / "curves" / f"ae_alpha{alpha:g}_lr{lr:g}.png",
+                    title=f"AE alpha={alpha:g} lr={lr:g}")
+            if i in round_best_snaps and \
+                    (best is None or best_val[i] < best.best_val_loss) and \
+                    best_val[i] < ckpt_val:
+                p, b = round_best_snaps[i]
+                best = TrainResult(p, b, float(best_val[i]),
+                                   float(best_acc[i]), int(best_epoch[i]),
+                                   n_hist, cand_hist)
+                best_hp = {"alpha": alpha, "lr": lr}
+                if out_dir:
+                    save_model(Path(out_dir) / "ae_global_best.msgpack",
+                               p, b, meta={**best_hp,
+                                           "best_val_loss": best.best_val_loss,
+                                           "best_val_acc": best.best_val_acc,
+                                           "best_epoch": best.best_epoch})
+            cand = float(np.nan_to_num(best_val[i], nan=np.inf))
+            if fallback is None or cand < fallback_key:
+                fp, fb = round_best_snaps.get(
+                    i, (_slice_tree(vparams, i), _slice_tree(vbn, i)))
+                fallback = TrainResult(fp, fb, float(best_val[i]),
+                                       float(best_acc[i]),
+                                       int(best_epoch[i]), n_hist, cand_hist)
+                fallback_hp, fallback_key = {"alpha": alpha, "lr": lr}, cand
+
+    if best is None or ckpt_val < best.best_val_loss:
+        if not ckpt_meta:
+            if fallback is not None:
+                if out_dir:
+                    save_model(Path(out_dir) / "ae_global_best.msgpack",
+                               fallback.params, fallback.bn_state,
+                               meta={**fallback_hp,
+                                     "best_val_loss": fallback.best_val_loss,
+                                     "best_val_acc": fallback.best_val_acc,
+                                     "best_epoch": fallback.best_epoch,
+                                     "diverged": True})
+                return SweepResult(fallback, fallback_hp, results)
+            raise RuntimeError("sharded AE grid search produced no result "
+                               "and no prior checkpoint exists")
+        from satae.io.checkpoint import load_model
+        tmpl_p, tmpl_s = supervised_ae_init(
+            jax.random.PRNGKey(0), model_cfg, in_ch=data_cfg.channels,
+            image_size=data_cfg.image_size)
+        params, bn_state = load_model(
+            Path(out_dir) / "ae_global_best.msgpack", tmpl_p, tmpl_s)
+        best_hp = {"alpha": float(ckpt_meta["alpha"]),
+                   "lr": float(ckpt_meta["lr"])}
+        best = TrainResult(params, bn_state, ckpt_val,
+                           float(ckpt_meta.get("best_val_acc", 0.0)),
+                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
+    return SweepResult(best, best_hp, results)
+
+
+def mlp_sharded_grid_search(
+    train_x: np.ndarray, train_y: np.ndarray,
+    val_x: np.ndarray, val_y: np.ndarray,
+    *,
+    model_cfg: ModelConfig,
+    mlp_cfg: MLPTrainConfig,
+    mesh,
+    batch_size: int = 64,
+    seed: int = 0,
+    out_dir: Optional[str] = None,
+    log: Optional[LogFn] = None,
+    test_x: Optional[np.ndarray] = None,
+    test_y: Optional[np.ndarray] = None,
+    mesh_axis: str = "data",
+    save_curves: bool = False,
+) -> SweepResult:
+    """Config-sharded 11-lr MLP sweep (reference C22 over the mesh): fixed
+    epochs, best by val accuracy, per-lr best-epoch test accuracy."""
+    n_dev = int(mesh.devices.size)
+    lrs_py = [float(lr) for lr in mlp_cfg.learning_rates]
+    input_dim = int(np.shape(train_x)[-1])
+
+    engine = ShardedSweepEngine(
+        hbm.mlp_train_epoch_body(model_cfg), hbm.mlp_eval_body(model_cfg),
+        mesh, mesh_axis, n_scalar_train=2, n_scalar_eval=0)
+
+    xs = _replicate(mesh, jnp.asarray(np.asarray(train_x, np.float32)))
+    ys = _replicate(mesh, jnp.asarray(np.asarray(train_y, np.int32)))
+    val = ArrayDataset(np.asarray(val_x, np.float32),
+                       np.asarray(val_y, np.int32))
+    val_data = _replicate(
+        mesh, tuple(jnp.asarray(a)
+                    for a in hbm.padded_eval_batches(val, batch_size)))
+    n_counted = (len(train_y) // batch_size) * batch_size
+
+    store = GridResultStore(Path(out_dir) / "mlp_results.json") \
+        if out_dir else None
+    results: Dict[str, Dict[str, float]] = {}
+    pending = [(ci, lr) for ci, lr in enumerate(lrs_py)
+               if store is None or GridResultStore.key(lr=lr) not in store]
+    for ci, lr in enumerate(lrs_py):
+        key = GridResultStore.key(lr=lr)
+        if store is not None and key in store:
+            results[key] = store.results[key]
+
+    ckpt_acc = -1.0
+    ckpt_meta: Dict[str, float] = {}
+    if out_dir:
+        meta_file = Path(out_dir) / "mlp_global_best.json"
+        if meta_file.exists():
+            ckpt_meta = json.loads(meta_file.read_text())
+            ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
+
+    wd = jnp.full((n_dev,), mlp_cfg.weight_decay, jnp.float32)
+    wd = _shard_cfg_axis(mesh, wd, mesh_axis)
+    best: Optional[TrainResult] = None
+    best_hp: Dict[str, float] = {}
+
+    for chunk, mask in _chunk_pad(pending, n_dev):
+        cfg_idx = np.array([c[0] for c in chunk])
+        lrs = jnp.asarray([c[1] for c in chunk], jnp.float32)
+        base_keys = jnp.stack([jax.random.PRNGKey(seed + int(ci))
+                               for ci in cfg_idx])
+        split2 = jax.vmap(lambda k: tuple(jax.random.split(k)))
+        init_keys, loop_keys = split2(base_keys)
+        vparams, vbn = jax.vmap(
+            lambda k: mlp_init(k, model_cfg, input_dim=input_dim))(init_keys)
+        vopt = adam_init(vparams)
+        vopt["step"] = jnp.zeros((n_dev,), jnp.int32)
+        vparams = _shard_cfg_axis(mesh, vparams, mesh_axis)
+        vbn = _shard_cfg_axis(mesh, vbn, mesh_axis)
+        vopt = _shard_cfg_axis(mesh, vopt, mesh_axis)
+        lrs = _shard_cfg_axis(mesh, lrs, mesh_axis)
+        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), mesh_axis)
+
+        history = {k: [[] for _ in range(n_dev)]
+                   for k in ("train_loss", "train_acc", "val_loss", "val_acc")}
+        best_acc = np.full((n_dev,), -1.0)
+        best_loss = np.full((n_dev,), np.inf)
+        best_epoch = np.full((n_dev,), -1, np.int64)
+        snapshots: Dict[int, Any] = {}
+
+        for epoch in range(mlp_cfg.epochs):
+            order = jnp.asarray(np.stack(
+                [hbm.epoch_order(len(train_y), batch_size, seed + int(ci),
+                                 epoch) for ci in cfg_idx]))
+            order = _shard_cfg_axis(mesh, order, mesh_axis)
+            ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                loop_keys, epoch)
+            vparams, vbn, vopt, tsum = engine.train_round_epoch(
+                vparams, vbn, vopt, (xs, ys), order, ekeys, (lrs, wd))
+            vsum = engine.eval_round(vparams, vbn, val_data, ())
+            tsum, vsum = jax.device_get((tsum, vsum))
+            nv = vsum["n"]
+            val_acc = vsum["acc"] / nv
+            val_loss = vsum["loss"] / nv
+            for i in range(n_dev):
+                history["train_loss"][i].append(float(tsum["loss"][i])
+                                                / n_counted)
+                history["train_acc"][i].append(float(tsum["acc"][i])
+                                               / n_counted)
+                history["val_loss"][i].append(float(val_loss[i]))
+                history["val_acc"][i].append(float(val_acc[i]))
+            for i in np.flatnonzero(mask & (val_acc > best_acc)):
+                best_acc[i] = val_acc[i]
+                best_loss[i] = val_loss[i]
+                best_epoch[i] = epoch
+                snapshots[i] = (_slice_tree(vparams, i), _slice_tree(vbn, i))
+            if log:
+                log(f"round epoch {epoch:3d}: "
+                    f"best_val_acc={best_acc.max():.4f}")
+
+        test_batches = None
+        if test_x is not None:
+            tds = ArrayDataset(np.asarray(test_x, np.float32),
+                               np.asarray(test_y, np.int32))
+            test_batches = tuple(jax.device_put(a) for a in
+                                 hbm.padded_eval_batches(tds, batch_size))
+            jeval_single = jax.jit(hbm.mlp_eval_body(model_cfg))
+        for i in np.flatnonzero(mask):
+            ci, lr = chunk[i]
+            key = GridResultStore.key(lr=lr)
+            summary = {"lr": lr, "best_val_acc": float(best_acc[i]),
+                       "best_val_loss": float(best_loss[i]),
+                       "best_epoch": int(best_epoch[i])}
+            if test_batches is not None and i in snapshots:
+                sp, sb = snapshots[i]
+                tm = jax.device_get(jeval_single(sp, sb, *test_batches))
+                summary["test_acc"] = float(tm["acc"] / tm["n"])
+            results[key] = summary
+            if store is not None:
+                store.record(key, summary)
+            if save_curves and out_dir:
+                from satae.eval import plots
+                plots.lr_curves(
+                    {k: history[k][i] for k in history},
+                    Path(out_dir) / "curves" / f"mlp_lr{lr:g}.png",
+                    title=f"MLP lr={lr:g}")
+            if log:
+                log(f"lr={lr}: val_acc={best_acc[i]:.4f}")
+            if i in snapshots and \
+                    (best is None or best_acc[i] > best.best_val_acc) and \
+                    best_acc[i] > ckpt_acc:
+                sp, sb = snapshots[i]
+                hist_i = {k: history[k][i] for k in history}
+                best = TrainResult(sp, sb, float(best_loss[i]),
+                                   float(best_acc[i]), int(best_epoch[i]),
+                                   mlp_cfg.epochs, hist_i)
+                best_hp = {"lr": lr}
+                if out_dir:
+                    save_model(Path(out_dir) / "mlp_global_best.msgpack",
+                               sp, sb,
+                               meta={**best_hp,
+                                     "best_val_acc": best.best_val_acc,
+                                     "best_val_loss": best.best_val_loss,
+                                     "best_epoch": best.best_epoch})
+
+    if best is None or ckpt_acc > best.best_val_acc:
+        if not ckpt_meta:
+            raise RuntimeError("sharded MLP grid search produced no result "
+                               "and no prior checkpoint exists")
+        from satae.io.checkpoint import load_model
+        tmpl_p, tmpl_s = mlp_init(jax.random.PRNGKey(0), model_cfg,
+                                  input_dim=input_dim)
+        params, bn_state = load_model(
+            Path(out_dir) / "mlp_global_best.msgpack", tmpl_p, tmpl_s)
+        best_hp = {"lr": float(ckpt_meta["lr"])}
+        best = TrainResult(params, bn_state,
+                           float(ckpt_meta.get("best_val_loss", float("inf"))),
+                           ckpt_acc, int(ckpt_meta.get("best_epoch", -1)),
+                           0, {})
+    return SweepResult(best, best_hp, results)

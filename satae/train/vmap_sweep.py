@@ -50,6 +50,7 @@ def ae_vmap_grid_search(
     out_dir: Optional[str] = None,
     compute_dtype=jnp.float32,
     log: Optional[LogFn] = None,
+    save_curves: bool = False,
 ) -> SweepResult:
     # keep the original Python floats for result keys so a sweep resumed by
     # the sequential engine finds identical GridResultStore keys
@@ -87,8 +88,13 @@ def ae_vmap_grid_search(
     cfg_keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
         jax.random.PRNGKey(seed + 1), jnp.arange(n_cfg))
 
-    val_loss_hist: list = []  # per-epoch (n_cfg,) arrays -> winner's curves
-    val_acc_hist: list = []
+    # per-epoch (n_cfg,) metric arrays -> per-config train/val curves
+    hist_keys = ("loss", "mse", "ce", "acc")
+    metric_hist: Dict[str, list] = {f"{p}_{k}": []
+                                    for p in ("train", "val")
+                                    for k in hist_keys}
+    n_train_counted = (len(train_ds) // data_cfg.batch_size) \
+        * data_cfg.batch_size
     best_val = np.full((n_cfg,), np.inf, np.float64)
     best_acc = np.zeros((n_cfg,), np.float64)
     best_epoch = np.full((n_cfg,), -1, np.int64)
@@ -104,14 +110,15 @@ def ae_vmap_grid_search(
             len(train_ds), data_cfg.batch_size, seed, epoch))
         ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
                                                                 epoch)
-        vparams, vbn, vopt, _tsum = vepoch(
+        vparams, vbn, vopt, tsum = vepoch(
             vparams, vbn, vopt, images, labels, order, ekeys, alphas_d, lrs_d)
         vsum = veval(vparams, vbn, val_imgs, val_labs, val_wts, alphas_d)
-        vsum = jax.device_get(vsum)
+        tsum, vsum = jax.device_get((tsum, vsum))
+        for k in hist_keys:
+            metric_hist[f"train_{k}"].append(tsum[k] / n_train_counted)
+            metric_hist[f"val_{k}"].append(vsum[k] / vsum["n"])
         val_loss = vsum["loss"] / vsum["n"]
         val_acc = vsum["acc"] / vsum["n"]
-        val_loss_hist.append(val_loss)
-        val_acc_hist.append(val_acc)
 
         improved = active & (val_loss < best_val)
         best_val = np.where(improved, val_loss, best_val)
@@ -167,13 +174,23 @@ def ae_vmap_grid_search(
         save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
                    meta={**best_hp, "best_val_loss": global_best})
     gi = global_best_idx
-    # truncate the winner's curves at its own early stop — vmap keeps
-    # training stopped configs (SPMD), but those epochs never counted
-    n_hist = int(min(stopped_at[gi], len(val_loss_hist)))
-    history = {
-        "val_loss": [float(v[gi]) for v in val_loss_hist[:n_hist]],
-        "val_acc": [float(v[gi]) for v in val_acc_hist[:n_hist]],
-    }
+
+    def cfg_history(i: int) -> Dict[str, list]:
+        # truncate a config's curves at its own early stop — vmap keeps
+        # training stopped configs (SPMD), but those epochs never counted
+        n_hist = int(min(stopped_at[i], len(metric_hist["val_loss"])))
+        return {k: [float(v[i]) for v in metric_hist[k][:n_hist]]
+                for k in metric_hist}
+
+    history = cfg_history(gi)
+    if save_curves and out_dir:
+        from satae.eval import plots
+        for i in range(n_cfg):
+            a, lr = hparams[i]
+            plots.loss_curves(
+                cfg_history(i),
+                Path(out_dir) / "curves" / f"ae_alpha{a:g}_lr{lr:g}.png",
+                title=f"AE alpha={a:g} lr={lr:g}")
     best = TrainResult(params, bn_state, global_best,
                        float(best_acc[gi]), int(best_epoch[gi]), epoch + 1,
                        history)
@@ -196,6 +213,7 @@ def mlp_vmap_grid_search(
     log: Optional[LogFn] = None,
     test_x: Optional[np.ndarray] = None,
     test_y: Optional[np.ndarray] = None,
+    save_curves: bool = False,
 ) -> SweepResult:
     lrs_py = [float(lr) for lr in mlp_cfg.learning_rates]  # key-stable floats
     lrs = np.asarray(lrs_py, np.float32)
@@ -231,17 +249,25 @@ def mlp_vmap_grid_search(
     best_loss = np.full((n_cfg,), np.inf)
     best_epoch = np.full((n_cfg,), -1, np.int64)
     snapshots: Dict[int, Any] = {}
+    n_counted = (len(train_y) // batch_size) * batch_size
+    metric_hist: Dict[str, list] = {k: [] for k in (
+        "train_loss", "train_acc", "val_loss", "val_acc")}
 
     for epoch in range(mlp_cfg.epochs):
         order = jnp.asarray(hbm.epoch_order(len(ys), batch_size, seed, epoch))
         ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(cfg_keys,
                                                                 epoch)
-        vparams, vbn, vopt, _tsum = vepoch(
+        vparams, vbn, vopt, tsum = vepoch(
             vparams, vbn, vopt, xs, ys, order, ekeys, lrs_d,
             jnp.asarray(mlp_cfg.weight_decay, jnp.float32))
         m = jax.device_get(veval(vparams, vbn, vx, vy, vw))
+        tsum = jax.device_get(tsum)
         val_acc = m["acc"] / m["n"]
         val_loss = m["loss"] / m["n"]
+        metric_hist["train_loss"].append(tsum["loss"] / n_counted)
+        metric_hist["train_acc"].append(tsum["acc"] / n_counted)
+        metric_hist["val_loss"].append(val_loss)
+        metric_hist["val_acc"].append(val_acc)
         for i in np.flatnonzero(val_acc > best_acc):
             best_acc[i] = val_acc[i]
             best_loss[i] = val_loss[i]
@@ -276,6 +302,17 @@ def mlp_vmap_grid_search(
         if store is not None:
             store.record(key, summary)
 
+    def cfg_history(i: int) -> Dict[str, list]:
+        return {k: [float(v[i]) for v in metric_hist[k]]
+                for k in metric_hist}
+
+    if save_curves and out_dir:
+        from satae.eval import plots
+        for i in range(n_cfg):
+            plots.lr_curves(
+                cfg_history(i),
+                Path(out_dir) / "curves" / f"mlp_lr{lrs_py[i]:g}.png",
+                title=f"MLP lr={lrs_py[i]:g}")
     params, bn_state = snapshots[gi]
     best_hp = {"lr": lrs_py[gi]}
     if out_dir:
@@ -283,5 +320,5 @@ def mlp_vmap_grid_search(
                    bn_state, meta={**best_hp, "best_val_acc": float(best_acc[gi])})
     best = TrainResult(params, bn_state, float(best_loss[gi]),
                        float(best_acc[gi]), int(best_epoch[gi]),
-                       mlp_cfg.epochs, {})
+                       mlp_cfg.epochs, cfg_history(gi))
     return SweepResult(best, best_hp, results)

@@ -86,6 +86,37 @@ def test_grid_search_resume_returns_cached_global_best(splits, tmp_path):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_ae_scan_engine_dtype_mismatch_raises(splits):
+    """A bf16-built engine must reject an explicit f32 request (and vice
+    versa) instead of silently training in the engine's dtype; only
+    compute_dtype=None inherits."""
+    import jax.numpy as jnp
+
+    from satae.train.fast_loop import AEScanEngine
+    engine = AEScanEngine(MODEL_CFG, DATA_CFG, jnp.bfloat16)
+    with pytest.raises(ValueError, match="compute_dtype"):
+        train_supervised_ae_scan(
+            splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+            alpha=35.0, lr=2e-3, max_epochs=1, patience=1, seed=0,
+            engine=engine, compute_dtype=jnp.float32)
+
+
+def test_grid_search_all_diverged_writes_checkpoint(splits, tmp_path):
+    """When every config diverges (NaN val loss throughout), the sweep must
+    still leave a loadable ae_global_best checkpoint in out_dir."""
+    import json
+
+    ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(float("nan"),),
+                           max_epochs=2, patience=15)
+    sweep = ae_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        ae_cfg=ae_cfg, seed=0, out_dir=str(tmp_path), engine="scan")
+    assert sweep.best is not None
+    assert (tmp_path / "ae_global_best.msgpack").exists()
+    meta = json.loads((tmp_path / "ae_global_best.json").read_text())
+    assert meta.get("diverged") is True
+
+
 def test_grid_search_scan_engine(splits, tmp_path):
     ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-2),
                            max_epochs=2, patience=15)

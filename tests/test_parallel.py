@@ -134,6 +134,98 @@ def test_dp_scan_epoch_matches_single_device():
                                res1.history["train_loss"], rtol=1e-3)
 
 
+def test_sharded_ae_grid_matches_sequential(tmp_path):
+    """Config-sharded AE sweep (one config per device per round) selects the
+    same winner with the same per-config val losses as the sequential
+    engine (identical per-config seeding)."""
+    from satae.config import AETrainConfig
+    from satae.data.ingest import RawDataset
+    from satae.data.pipeline import make_splits
+    from satae.data.synthetic import make_synthetic_eurosat
+    from satae.train.gridsearch import ae_grid_search
+    from satae.train.shard_sweep import ae_sharded_grid_search
+
+    data_cfg = DataConfig(per_class=24, image_size=32, batch_size=32)
+    imgs, labels, classes = make_synthetic_eurosat(per_class=24,
+                                                   image_size=32, seed=0)
+    splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+    # 9 configs over 8 devices -> 2 rounds incl. a padded one
+    ae_cfg = AETrainConfig(alphas=(20.0, 35.0, 40.0),
+                           learning_rates=(1e-3, 5e-3, 5e-1),
+                           max_epochs=3, patience=2)
+    seq = ae_grid_search(splits.train, splits.val, model_cfg=MODEL_CFG,
+                         data_cfg=data_cfg, ae_cfg=ae_cfg, seed=0)
+    shd = ae_sharded_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=data_cfg,
+        ae_cfg=ae_cfg, mesh=make_mesh(8), seed=0, out_dir=str(tmp_path))
+    assert shd.best_hparams == seq.best_hparams
+    assert shd.best.best_val_loss == pytest.approx(
+        seq.best.best_val_loss, rel=1e-4)
+    assert set(shd.results) == set(seq.results)
+    for k in seq.results:
+        if np.isfinite(seq.results[k]["best_val_loss"]):
+            assert shd.results[k]["best_val_loss"] == pytest.approx(
+                seq.results[k]["best_val_loss"], rel=1e-3)
+        assert shd.results[k]["best_epoch"] == seq.results[k]["best_epoch"]
+    # winner history carries train AND val curves, truncated at its stop
+    h = shd.best.history
+    assert len(h["train_loss"]) == len(h["val_loss"]) > 0
+    assert (tmp_path / "ae_global_best.msgpack").exists()
+    assert (tmp_path / "validation_losses.json").exists()
+
+
+def test_sharded_mlp_grid_matches_sequential(tmp_path):
+    from satae.config import MLPTrainConfig
+    from satae.train.gridsearch import mlp_grid_search
+    from satae.train.shard_sweep import mlp_sharded_grid_search
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(0, 2, (10, 16)).astype(np.float32)
+    ytr = rng.integers(0, 10, 300).astype(np.int32)
+    yva = rng.integers(0, 10, 100).astype(np.int32)
+    yte = rng.integers(0, 10, 100).astype(np.int32)
+    Xtr = centers[ytr] + rng.normal(0, 0.3, (300, 16)).astype(np.float32)
+    Xva = centers[yva] + rng.normal(0, 0.3, (100, 16)).astype(np.float32)
+    Xte = centers[yte] + rng.normal(0, 0.3, (100, 16)).astype(np.float32)
+    mlp_cfg = MLPTrainConfig(learning_rates=(1e-5, 1e-3, 1e-2), epochs=3)
+    seq = mlp_grid_search(Xtr, ytr, Xva, yva, model_cfg=MODEL_CFG,
+                          mlp_cfg=mlp_cfg, batch_size=32, seed=0,
+                          test_x=Xte, test_y=yte)
+    shd = mlp_sharded_grid_search(
+        Xtr, ytr, Xva, yva, model_cfg=MODEL_CFG, mlp_cfg=mlp_cfg,
+        mesh=make_mesh(8), batch_size=32, seed=0, out_dir=str(tmp_path),
+        test_x=Xte, test_y=yte)
+    assert shd.best_hparams == seq.best_hparams
+    for k in seq.results:
+        assert shd.results[k]["best_val_acc"] == pytest.approx(
+            seq.results[k]["best_val_acc"], abs=1e-6)
+        assert shd.results[k]["test_acc"] == pytest.approx(
+            seq.results[k]["test_acc"], abs=1e-6)
+    assert (tmp_path / "mlp_global_best.msgpack").exists()
+
+
+def test_fit_grid_data_parallel(tmp_path):
+    """api.fit(grid=True) with RuntimeConfig(n_devices=8) runs the sharded
+    sweeps end to end (the path that used to raise NotImplementedError)."""
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, MLPTrainConfig, PipelineConfig,
+                              RuntimeConfig)
+
+    cfg = PipelineConfig(
+        data=DataConfig(per_class=24, image_size=32, batch_size=32),
+        model=MODEL_CFG,
+        ae=AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-3),
+                         max_epochs=2, patience=15),
+        mlp=MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=2),
+        runtime=RuntimeConfig(n_devices=8))
+    pipe = SatAEPipeline(cfg)
+    summary = pipe.fit(grid=True, out_dir=str(tmp_path))
+    assert np.isfinite(summary.ae_val_loss)
+    assert 0.0 <= summary.test_acc <= 1.0
+    assert (tmp_path / "ae_global_best.msgpack").exists()
+    assert (tmp_path / "mlp_global_best.msgpack").exists()
+
+
 def test_dp_multiple_steps_run():
     """Run a few sharded optimizer steps end to end (compile + execute)."""
     params, bn_state, opt_state, imgs, labels = _setup()

@@ -44,6 +44,34 @@ def test_ae_vmap_sweep(splits, tmp_path):
                      DATA_CFG.batch_size,
                      (jnp.asarray(sweep.best_hparams["alpha"]),))
     assert val_m["loss"] == pytest.approx(sweep.best.best_val_loss, rel=1e-4)
+    # the winner's history carries train AND val curves (reference figure
+    # Report.md:2461-2469 has both lines)
+    h = sweep.best.history
+    assert len(h["train_loss"]) == len(h["val_loss"]) > 0
+    assert all(np.isfinite(h["train_loss"]))
+
+
+def test_vmap_sweeps_save_per_config_curves(splits, tmp_path):
+    """save_curves=True writes one PNG per grid config (the reference's
+    per-LR figures, Report.md:2706-2722)."""
+    ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-2),
+                           max_epochs=2, patience=15)
+    ae_vmap_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        ae_cfg=ae_cfg, seed=0, out_dir=str(tmp_path), save_curves=True)
+    assert (tmp_path / "curves" / "ae_alpha35_lr0.002.png").exists()
+    assert (tmp_path / "curves" / "ae_alpha35_lr0.05.png").exists()
+
+    rng = np.random.default_rng(0)
+    y = rng.integers(0, 10, 96).astype(np.int32)
+    X = rng.normal(size=(96, 16)).astype(np.float32)
+    mlp_cfg = MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=2)
+    sweep = mlp_vmap_grid_search(
+        X[:64], y[:64], X[64:], y[64:], model_cfg=MODEL_CFG, mlp_cfg=mlp_cfg,
+        batch_size=32, seed=0, out_dir=str(tmp_path), save_curves=True)
+    assert (tmp_path / "curves" / "mlp_lr0.001.png").exists()
+    assert (tmp_path / "curves" / "mlp_lr0.01.png").exists()
+    assert len(sweep.best.history["train_acc"]) == 2  # winner history filled
 
 
 def test_ae_vmap_early_stopping(splits):
