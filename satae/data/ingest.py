@@ -129,5 +129,5 @@ def load_dataset(cfg: DataConfig) -> RawDataset:
         return load_folder(cfg.root, cfg.image_size, cfg.cache_dir)
     images, labels, classes = make_synthetic_eurosat(
         per_class=cfg.per_class, image_size=cfg.image_size,
-        seed=cfg.subsample_seed)
+        seed=cfg.subsample_seed, difficulty=cfg.synthetic_difficulty)
     return RawDataset(images, labels, classes)

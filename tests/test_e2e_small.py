@@ -76,12 +76,43 @@ def test_full_pipeline_accuracy(splits, ae_result):
     predict = make_mlp_predict(MODEL_CFG)
     preds = np.asarray(predict(mlp.params, mlp.bn_state, Xte))
     acc = float((preds == yte).mean())
-    assert acc > 0.5, f"synthetic test accuracy too low: {acc}"
+    # the easy tier is near-separable: anything below this band is a numerics
+    # or wiring regression, not noise
+    assert acc > 0.8, f"easy-tier test accuracy too low: {acc}"
 
     cm = M.confusion_matrix(yte, preds, 10)
     assert cm.sum() == len(yte)
     report = M.classification_report(yte, preds, 10, splits.classes)
     assert "weighted avg" in report
+
+
+def test_full_pipeline_accuracy_hard_tier():
+    """The 'hard' synthetic tier must land in a meaningful mid band: well
+    above chance (the pipeline learns) but clearly non-saturating (so model
+    selection and regressions remain visible). Measured 0.43-0.51 across
+    seeds at this tiny scale; band is deliberately generous."""
+    imgs, labels, classes = make_synthetic_eurosat(
+        per_class=DATA_CFG.per_class, image_size=IMAGE_SIZE, seed=0,
+        difficulty="hard")
+    splits = make_splits(RawDataset(imgs, labels, classes), DATA_CFG)
+    ae = train_supervised_ae(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=DATA_CFG,
+        alpha=35.0, lr=2e-3, max_epochs=8, patience=15, seed=0)
+    enc_p, enc_s = ae.params["encoder"], ae.bn_state["encoder"]
+    Xtr, ytr = extract_features(enc_p, enc_s, splits.train, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    Xva, yva = extract_features(enc_p, enc_s, splits.val, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    Xte, yte = extract_features(enc_p, enc_s, splits.test, MODEL_CFG,
+                                DATA_CFG.batch_size)
+    mlp = train_mlp(Xtr, ytr, Xva, yva, model_cfg=MODEL_CFG, lr=1e-3,
+                    weight_decay=1e-4, epochs=15, batch_size=32, seed=0)
+    from satae.train.steps import make_mlp_predict
+    preds = np.asarray(make_mlp_predict(MODEL_CFG)(mlp.params, mlp.bn_state,
+                                                   Xte))
+    acc = float((preds == yte).mean())
+    assert 0.25 < acc < 0.85, \
+        f"hard-tier accuracy {acc} outside the meaningful band"
 
 
 def test_early_stopping_triggers(splits):

@@ -1,0 +1,63 @@
+"""Synthetic dataset tiers: shapes, determinism, and hard-tier properties."""
+
+import numpy as np
+import pytest
+
+from satae.data.synthetic import _HARD, make_synthetic_eurosat
+
+
+def test_shapes_and_dtypes_both_tiers():
+    for diff in ("easy", "hard"):
+        imgs, labels, classes = make_synthetic_eurosat(
+            per_class=12, image_size=32, seed=0, difficulty=diff)
+        assert imgs.shape == (120, 32, 32, 3) and imgs.dtype == np.uint8
+        assert labels.shape == (120,) and labels.dtype == np.int32
+        assert len(classes) == 10
+
+
+def test_deterministic_per_seed():
+    for diff in ("easy", "hard"):
+        a = make_synthetic_eurosat(per_class=8, image_size=32, seed=3,
+                                   difficulty=diff)
+        b = make_synthetic_eurosat(per_class=8, image_size=32, seed=3,
+                                   difficulty=diff)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        c = make_synthetic_eurosat(per_class=8, image_size=32, seed=4,
+                                   difficulty=diff)
+        assert not np.array_equal(a[0], c[0])
+
+
+def test_unknown_difficulty_rejected():
+    with pytest.raises(ValueError, match="difficulty"):
+        make_synthetic_eurosat(per_class=4, difficulty="medium")
+
+
+def test_hard_tier_label_noise_fraction():
+    per_class = 100
+    _, labels, _ = make_synthetic_eurosat(per_class=per_class, image_size=32,
+                                          seed=0, difficulty="hard")
+    clean = np.repeat(np.arange(10), per_class)
+    flipped = (labels != clean).mean()
+    # flips go to OTHER classes only, so the differing fraction equals the
+    # configured rate exactly (up to rounding)
+    assert flipped == pytest.approx(_HARD["label_noise"], abs=0.002)
+
+
+def test_hard_tier_color_pairs_overlap():
+    """Classes c and c+5 share most of their palette: their mean colors must
+    be much closer to each other than the easy tier's are."""
+    per_class = 64
+    for diff, max_ratio in (("hard", 0.45),):
+        imgs, labels, _ = make_synthetic_eurosat(
+            per_class=per_class, image_size=32, seed=0, difficulty=diff)
+        clean = np.repeat(np.arange(10), per_class)  # pre-label-noise blocks
+        means = np.stack([imgs[clean == c].mean(axis=(0, 1, 2))
+                          for c in range(10)])
+        within_pair = np.mean([np.linalg.norm(means[c] - means[c + 5])
+                               for c in range(5)])
+        across = np.mean([np.linalg.norm(means[c] - means[(c + 1) % 5])
+                          for c in range(5)])
+        assert within_pair < max_ratio * across, \
+            f"{diff}: within-pair color distance {within_pair:.1f} not " \
+            f"small vs cross-group {across:.1f}"
