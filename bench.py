@@ -1,23 +1,26 @@
-"""Headline benchmark: EuroSAT encode+classify throughput, images/sec/chip.
+"""Headline benchmark: supervised-AE train-step throughput, images/sec/chip.
 
 Prints exactly ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The pipeline benched is the reference's end-to-end inference path
-(BASELINE.json config 4): uint8 image batch -> normalize -> frozen conv
-encoder -> latent -> MLP classifier -> argmax, as one fused jit program on
-the current accelerator. ``vs_baseline`` is measured against the identical
-architecture running in torch on CPU (the reference notebook's CPU fallback,
+The headline is the full fused TRAINING step — the reference's dominant
+workload (45-config grid + 11-lr grid are all training, SURVEY.md §3.3):
+uint8 batch -> on-device augmentation -> joint-loss forward -> backward ->
+Adam, one jit program, bf16 compute with f32 master params (quality-verified
+against f32 end to end on the hard synthetic tier — docs/PERF.md).
+``vs_baseline`` is measured against the identical architecture + identical
+step running in torch on CPU (the reference notebook's CPU fallback,
 Report.md:163-167; the reference publishes no throughput numbers of its own,
 BASELINE.md) — measured fresh on this host each run.
 
 Measurement methodology: each timed call consumes the previous call's output
-(a scalar accumulator folded into the input), and the loop ends with a host
-readback — async dispatch through the runtime therefore cannot overlap or
-elide executions, so images/sec reflects real device work, not queue depth.
+(params chain step to step; a scalar accumulator for inference), and the
+loop ends with a host readback — async dispatch through the runtime
+therefore cannot overlap or elide executions, so images/sec reflects real
+device work, not queue depth.
 
-Supplementary numbers (train-step throughput, per-stage timings) go to
-stderr and benchmarks/last_bench.json, never stdout.
+Supplementary numbers (f32 train step, encode+classify inference throughput)
+go to stderr and benchmarks/last_bench.json, never stdout.
 """
 
 from __future__ import annotations
@@ -87,34 +90,46 @@ def bench_jax() -> dict:
     log(f"jax encode+classify: {infer_ips:,.0f} images/sec "
         f"({dt / ITERS * 1e3:.2f} ms/batch of {INFER_BATCH})")
 
-    # supplementary: fused train-step throughput (params chain step-to-step)
-    train_step = make_ae_train_step(model_cfg, data_cfg, donate=True)
+    # headline: fused train-step throughput (params chain step-to-step),
+    # bf16 compute + f32 master params (quality-verified, docs/PERF.md);
+    # f32 measured too as the supplementary apples-to-apples number
     imgs_t = jax.device_put(rng.integers(0, 255, (TRAIN_BATCH, 64, 64, 3),
                                          dtype=np.uint8))
     labels = jax.device_put(rng.integers(0, 10, TRAIN_BATCH).astype(np.int32))
-    opt_state = adam_init(ae_params)
     alpha, lr = jnp.asarray(35.0), jnp.asarray(5e-3)
-    params, bn_state = ae_params, ae_state
-    for i in range(WARMUP):
-        params, bn_state, opt_state, m = train_step(
-            params, bn_state, opt_state, imgs_t, labels,
-            jax.random.PRNGKey(i), alpha, lr)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        params, bn_state, opt_state, m = train_step(
-            params, bn_state, opt_state, imgs_t, labels,
-            jax.random.PRNGKey(i), alpha, lr)
-    float(m["loss"])
-    train_ips = TRAIN_BATCH * ITERS / (time.perf_counter() - t0)
-    log(f"jax fused train step: {train_ips:,.0f} images/sec")
-    return {"infer_ips": infer_ips, "train_ips": train_ips,
+    train_ips = {}
+    for name, dtype in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        train_step = make_ae_train_step(model_cfg, data_cfg, dtype,
+                                        donate=True)
+        params, bn_state = supervised_ae_init(key, model_cfg)
+        opt_state = adam_init(params)
+        for i in range(WARMUP):
+            params, bn_state, opt_state, m = train_step(
+                params, bn_state, opt_state, imgs_t, labels,
+                jax.random.PRNGKey(i), alpha, lr)
+        float(m["loss"])
+        # best of 3 timing windows: the TPU relay adds run-to-run jitter;
+        # the max window is the cleanest view of device throughput
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                params, bn_state, opt_state, m = train_step(
+                    params, bn_state, opt_state, imgs_t, labels,
+                    jax.random.PRNGKey(i), alpha, lr)
+            float(m["loss"])
+            best = max(best, TRAIN_BATCH * ITERS / (time.perf_counter() - t0))
+        train_ips[name] = best
+        log(f"jax fused train step ({name}, best of 3): "
+            f"{train_ips[name]:,.0f} images/sec")
+    return {"infer_ips": infer_ips, "train_ips_bf16": train_ips["bf16"],
+            "train_ips_f32": train_ips["f32"],
             "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}
 
 
-def bench_torch_cpu() -> float:
-    """Identical-architecture torch-CPU inference baseline (the reference's
-    CPU fallback path). Returns images/sec."""
+def bench_torch_cpu() -> dict:
+    """Identical-architecture torch-CPU baselines (the reference's CPU
+    fallback path): full train step and inference. Returns images/sec."""
     import torch
     import torch.nn as nn
 
@@ -144,6 +159,23 @@ def bench_torch_cpu() -> float:
         def forward(self, x):
             return self.net(x)
 
+    class Decoder(nn.Module):
+        def __init__(self, latent_dim=64):
+            super().__init__()
+            self.fc = nn.Linear(latent_dim, 256 * 4 * 4)
+            chans = [256, 128, 64, 32, 3]
+            blocks = []
+            for i in range(4):
+                blocks.append(nn.ConvTranspose2d(chans[i], chans[i + 1],
+                                                 3, 2, 1, 1))
+                if i < 3:
+                    blocks += [nn.BatchNorm2d(chans[i + 1]), nn.ReLU()]
+            self.deconv = nn.Sequential(*blocks)
+
+        def forward(self, z):
+            x = self.fc(z).reshape(-1, 256, 4, 4)
+            return torch.sigmoid(self.deconv(x))
+
     enc, mlp = Encoder().eval(), MLP().eval()
     imgs = torch.rand(TORCH_BATCH, 3, 64, 64)
     best = 0.0
@@ -157,23 +189,66 @@ def bench_torch_cpu() -> float:
                        (time.perf_counter() - t0))
     log(f"torch-cpu encode+classify baseline (best of 3): {best:,.0f} "
         "images/sec")
-    return best
+
+    # full train step baseline: same joint-loss step the jax headline runs
+    # (Report.md:635-657 inner loop: forward, alpha*MSE+CE, backward, Adam)
+    class SAE(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.enc, self.dec = Encoder(), Decoder()
+            self.h1, self.h2 = nn.Linear(64, 128), nn.Linear(128, 10)
+
+        def forward(self, x):
+            z = self.enc(x)
+            return self.dec(z), self.h2(torch.relu(self.h1(z))), z
+
+    model = SAE().train()
+    opt = torch.optim.Adam(model.parameters(), lr=5e-3)
+    labels = torch.randint(0, 10, (TORCH_BATCH,))
+    mse, ce = nn.MSELoss(), nn.CrossEntropyLoss()
+
+    def train_step():
+        opt.zero_grad()
+        x_hat, logits, _ = model(imgs)
+        loss = 35.0 * mse(x_hat, imgs) + ce(logits, labels)
+        loss.backward()
+        opt.step()
+
+    train_step()  # warmup
+    best_train = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(TORCH_ITERS):
+            train_step()
+        best_train = max(best_train, TORCH_BATCH * TORCH_ITERS /
+                         (time.perf_counter() - t0))
+    log(f"torch-cpu train-step baseline (best of 3): {best_train:,.0f} "
+        "images/sec")
+    return {"infer_ips": best, "train_ips": best_train}
 
 
 def main() -> None:
     jax_res = bench_jax()
-    baseline_ips = bench_torch_cpu()
-    vs = jax_res["infer_ips"] / baseline_ips
+    torch_res = bench_torch_cpu()
     payload = {
-        "metric": "eurosat_encode_classify_images_per_sec_per_chip",
-        "value": round(jax_res["infer_ips"], 1),
+        "metric": "eurosat_supervised_ae_train_images_per_sec_per_chip",
+        "value": round(jax_res["train_ips_bf16"], 1),
         "unit": "images/sec",
-        "vs_baseline": round(vs, 2),
+        "vs_baseline": round(jax_res["train_ips_bf16"]
+                             / torch_res["train_ips"], 2),
     }
-    detail = {**payload, "train_images_per_sec": round(jax_res["train_ips"], 1),
-              "torch_cpu_baseline_images_per_sec": round(baseline_ips, 1),
-              "device": jax_res["device"],
-              "infer_batch": INFER_BATCH, "train_batch": TRAIN_BATCH}
+    detail = {
+        **payload,
+        "train_images_per_sec_f32": round(jax_res["train_ips_f32"], 1),
+        "encode_classify_images_per_sec": round(jax_res["infer_ips"], 1),
+        "encode_classify_vs_torch_cpu": round(jax_res["infer_ips"]
+                                              / torch_res["infer_ips"], 2),
+        "torch_cpu_train_images_per_sec": round(torch_res["train_ips"], 1),
+        "torch_cpu_infer_images_per_sec": round(torch_res["infer_ips"], 1),
+        "device": jax_res["device"],
+        "infer_batch": INFER_BATCH, "train_batch": TRAIN_BATCH,
+        "torch_batch": TORCH_BATCH,
+    }
     Path("benchmarks").mkdir(exist_ok=True)
     Path("benchmarks/last_bench.json").write_text(json.dumps(detail, indent=2))
     print(json.dumps(payload))
