@@ -63,8 +63,10 @@ def loss_ratio_calibration(
         n = min(chunk, n_inits - lo)
         keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
             base, jnp.arange(lo, lo + n))
-        ratios.append(np.asarray(vchunk(keys)))
-    return np.concatenate(ratios)
+        ratios.append(vchunk(keys))  # device refs; chunks stay in flight
+    # one host readback for all chunks (per-chunk np.asarray would serialize
+    # a host round-trip per chunk)
+    return np.concatenate([np.asarray(r) for r in jax.device_get(ratios)])
 
 
 @dataclasses.dataclass

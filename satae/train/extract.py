@@ -41,5 +41,7 @@ def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
     zs = []
     for imgs, _labels in iter_batches(ds, batch_size, shuffle=False):
         zs.append(encode_step(enc_params, enc_state, imgs))
-    X = np.concatenate([np.asarray(z, np.float32) for z in zs], axis=0)
+    # concatenate ON DEVICE and read back once: a per-batch np.asarray would
+    # cost one host round-trip per batch (219 for the 14k train split)
+    X = np.asarray(jnp.concatenate(zs, axis=0), np.float32)
     return X, np.asarray(ds.labels, np.int32)

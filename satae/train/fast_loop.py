@@ -91,7 +91,17 @@ def train_supervised_ae_scan(
     early-stopping bookkeeping, best-epoch snapshot) is flushed every k
     epochs, and an existing checkpoint at that path is resumed from
     automatically — the recovery story the reference has none of
-    (SURVEY.md §5)."""
+    (SURVEY.md §5).
+
+    Epoch loop is PIPELINED (unless checkpointing): epoch e+1's programs are
+    dispatched before epoch e's metrics are read back, hiding the host<->
+    device round-trip (~2x25-30 ms through this environment's relay) behind
+    device compute — measured 221 -> 123 ms per reference-scale epoch,
+    numerically identical. The best-epoch snapshot is captured on device
+    every epoch (one fused buffer copy) so the lagged decision can still
+    point at the right weights; on early stop the already-dispatched extra
+    epoch is discarded uncounted. Checkpointed runs stay synchronous so the
+    saved opt_state matches the recorded epoch exactly."""
     if len(train_ds) < data_cfg.batch_size:
         raise ValueError(
             f"train split ({len(train_ds)}) is smaller than batch_size "
@@ -141,7 +151,6 @@ def train_supervised_ae_scan(
     best_epoch = -1
     best_snapshot = _device_copy((params, bn_state))
     bad = 0
-    epoch = 0
     start_epoch = 0
 
     from pathlib import Path
@@ -166,10 +175,40 @@ def train_supervised_ae_scan(
                                             jax.device_get(bn_state))
         if log:
             log(f"resumed from {checkpoint_path} at epoch {start_epoch}")
-        epoch = start_epoch - 1  # correct epochs_run if the loop never runs
         if bad >= patience:      # resumed a run that had already stopped
             start_epoch = max_epochs
 
+    pipelined = not checkpoint_path
+    pending = None  # (epoch, device tsum, device vsum, device snapshot)
+    stopped = False
+
+    def process(p_epoch, tsum, vsum, snapshot):
+        """Fold one epoch's (possibly lagged) metrics into history/early-stop
+        state. Returns True when training must stop."""
+        nonlocal best_val, best_val_acc, best_epoch, best_snapshot, bad, \
+            epochs_done
+        tsum, vsum = jax.device_get((tsum, vsum))
+        nv = float(vsum["n"])
+        for k in ("loss", "mse", "ce", "acc"):
+            history[f"train_{k}"].append(float(tsum[k]) / n_train_counted)
+            history[f"val_{k}"].append(float(vsum[k]) / nv)
+        val_loss = history["val_loss"][-1]
+        epochs_done = p_epoch + 1
+        if log:
+            log(f"epoch {p_epoch:3d}  "
+                f"train_loss={history['train_loss'][-1]:.4f} "
+                f"val_loss={val_loss:.4f} val_acc={history['val_acc'][-1]:.4f}")
+        if val_loss < best_val:
+            best_val = val_loss
+            best_val_acc = history["val_acc"][-1]
+            best_epoch = p_epoch
+            best_snapshot = snapshot
+            bad = 0
+        else:
+            bad += 1
+        return bad >= patience
+
+    epochs_done = start_epoch
     for epoch in range(start_epoch, max_epochs):
         order = jnp.asarray(hbm.epoch_order(
             len(train_ds), data_cfg.batch_size, seed, epoch))
@@ -179,24 +218,18 @@ def train_supervised_ae_scan(
             alpha_arr, lr_arr)
         vsum = engine.eval_sums(params, bn_state, val_imgs, val_labs,
                                 val_wts, alpha_arr)
-        tsum, vsum = jax.device_get((tsum, vsum))
-        nv = float(vsum["n"])
-        for k in ("loss", "mse", "ce", "acc"):
-            history[f"train_{k}"].append(float(tsum[k]) / n_train_counted)
-            history[f"val_{k}"].append(float(vsum[k]) / nv)
-        val_loss = history["val_loss"][-1]
-        if log:
-            log(f"epoch {epoch:3d}  train_loss={history['train_loss'][-1]:.4f} "
-                f"val_loss={val_loss:.4f} val_acc={history['val_acc'][-1]:.4f}")
-        improved = val_loss < best_val
-        if improved:
-            best_val = val_loss
-            best_val_acc = history["val_acc"][-1]
-            best_epoch = epoch
-            best_snapshot = _device_copy((params, bn_state))
-            bad = 0
-        else:
-            bad += 1
+        snapshot = _device_copy((params, bn_state))
+        if pipelined:
+            # read back LAST epoch's metrics only now — this epoch's programs
+            # are already in flight, hiding the relay round-trip
+            if pending is not None and process(*pending):
+                pending = None  # the in-flight epoch is discarded, uncounted
+                stopped = True
+                break
+            pending = (epoch, tsum, vsum, snapshot)
+            continue
+        if process(epoch, tsum, vsum, snapshot):
+            stopped = True
 
         if checkpoint_path and checkpoint_every and \
                 (epoch + 1) % checkpoint_every == 0:
@@ -214,12 +247,15 @@ def train_supervised_ae_scan(
                        "best_epoch": best_epoch, "bad": bad,
                        "history": history})
 
-        if bad >= patience:
+        if stopped:
             break
+
+    if pending is not None:
+        process(*pending)  # max_epochs reached: last epoch still counts
 
     best_params, best_bn = jax.device_get(best_snapshot)
     return TrainResult(best_params, best_bn, best_val, best_val_acc,
-                       best_epoch, epoch + 1, history)
+                       best_epoch, epochs_done, history)
 
 
 def upload_ae_data(train_ds: ArrayDataset, val_ds: ArrayDataset,
@@ -307,27 +343,42 @@ def train_mlp_scan(
     best_acc, best_loss, best_epoch = -1.0, float("inf"), -1
     best_snapshot = _device_copy((params, bn_state))
 
-    for epoch in range(epochs):
-        order = jnp.asarray(hbm.epoch_order(len(train_y), batch_size, seed,
-                                            epoch))
-        ekey = jax.random.fold_in(key, epoch)
-        params, bn_state, opt_state, tsum = engine.train_epoch(
-            params, bn_state, opt_state, xs, ys, order, ekey, lr_arr, wd_arr)
-        vsum = jax.device_get(engine.eval_sums(params, bn_state, vx, vy, vw))
-        tsum = jax.device_get(tsum)
+    pending = None  # (epoch, device tsum, device vsum, device snapshot)
+
+    def process(p_epoch, tsum, vsum, snapshot):
+        nonlocal best_acc, best_loss, best_epoch, best_snapshot
+        tsum, vsum = jax.device_get((tsum, vsum))
         nv = float(vsum["n"])
         history["train_loss"].append(float(tsum["loss"]) / n_counted)
         history["train_acc"].append(float(tsum["acc"]) / n_counted)
         history["val_loss"].append(float(vsum["loss"]) / nv)
         history["val_acc"].append(float(vsum["acc"]) / nv)
         if log:
-            log(f"epoch {epoch:3d}  train_acc={history['train_acc'][-1]:.4f} "
+            log(f"epoch {p_epoch:3d}  "
+                f"train_acc={history['train_acc'][-1]:.4f} "
                 f"val_acc={history['val_acc'][-1]:.4f}")
         if history["val_acc"][-1] > best_acc:
             best_acc = history["val_acc"][-1]
             best_loss = history["val_loss"][-1]
-            best_epoch = epoch
-            best_snapshot = _device_copy((params, bn_state))
+            best_epoch = p_epoch
+            best_snapshot = snapshot
+
+    # pipelined readback: epoch e+1 is dispatched before epoch e's metrics
+    # are read (fixed epoch count, so the 1-epoch lag has no semantics at
+    # all here — see train_supervised_ae_scan for the early-stopping case)
+    for epoch in range(epochs):
+        order = jnp.asarray(hbm.epoch_order(len(train_y), batch_size, seed,
+                                            epoch))
+        ekey = jax.random.fold_in(key, epoch)
+        params, bn_state, opt_state, tsum = engine.train_epoch(
+            params, bn_state, opt_state, xs, ys, order, ekey, lr_arr, wd_arr)
+        vsum = engine.eval_sums(params, bn_state, vx, vy, vw)
+        snapshot = _device_copy((params, bn_state))
+        if pending is not None:
+            process(*pending)
+        pending = (epoch, tsum, vsum, snapshot)
+    if pending is not None:
+        process(*pending)
 
     best_params, best_bn = jax.device_get(best_snapshot)
     return TrainResult(best_params, best_bn, best_loss, best_acc, best_epoch,

@@ -36,6 +36,7 @@ from satae.io.checkpoint import GridResultStore, save_model
 from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
 from satae.train import hbm
+from satae.train.fast_loop import _device_copy
 from satae.train.gridsearch import SweepResult
 from satae.train.loop import LogFn, TrainResult
 from satae.train.optim import adam_init
@@ -50,7 +51,14 @@ def _expand0(tree: Any) -> Any:
 
 
 def _slice_tree(tree: Any, i: int) -> Any:
-    return jax.tree_util.tree_map(lambda x: np.asarray(x[i]), tree)
+    """Slice config i out of a config-stacked pytree, ON DEVICE — snapshots
+    stay in HBM (x[i] materializes a fresh buffer, immune to later buffer
+    donation); the winner is brought to the host exactly once at the end."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
 
 
 def _shard_cfg_axis(mesh, tree: Any, axis: str) -> Any:
@@ -222,7 +230,52 @@ def ae_sharded_grid_search(
         stopped_at = np.where(mask, ae_cfg.max_epochs, 0).astype(np.int64)
         round_best_snaps: Dict[int, Any] = {}
 
-        epoch = -1
+        n_processed = 0
+        in_flight = None  # (epoch, device tsum, device vsum, device snapshot)
+
+        def process(p_epoch, tsum, vsum, snap):
+            """Fold one (possibly lagged) round-epoch's metrics into the
+            per-config bookkeeping; True when every config has stopped."""
+            nonlocal best_val, best_acc, best_epoch, bad, active, \
+                stopped_at, n_processed
+            tsum, vsum = jax.device_get((tsum, vsum))
+            nv = vsum["n"]
+            for k in hist_keys:
+                for i in range(n_dev):
+                    history[f"train_{k}"][i].append(
+                        float(tsum[k][i]) / n_train_counted)
+                    history[f"val_{k}"][i].append(
+                        float(vsum[k][i]) / float(nv[i]))
+            val_loss = vsum["loss"] / nv
+            val_acc = vsum["acc"] / nv
+            n_processed = p_epoch + 1
+
+            improved = active & (val_loss < best_val)
+            best_val = np.where(improved, val_loss, best_val)
+            best_acc = np.where(improved, val_acc, best_acc)
+            best_epoch = np.where(improved, p_epoch, best_epoch)
+            bad = np.where(improved, 0, bad + 1)
+            newly_stopped = active & (bad >= ae_cfg.patience)
+            stopped_at = np.where(newly_stopped, p_epoch + 1, stopped_at)
+            active &= ~newly_stopped
+
+            # true best-epoch snapshots (device slices of the epoch's state
+            # copy), only for configs that could still become the global
+            # winner (ckpt_val guards resume parity)
+            sp, sb = snap
+            for i in np.flatnonzero(improved):
+                if val_loss[i] < min(ckpt_val, fallback_key if best is None
+                                     else best.best_val_loss):
+                    round_best_snaps[i] = (_slice_tree(sp, i),
+                                           _slice_tree(sb, i))
+            if log:
+                log(f"round epoch {p_epoch:3d}: active={int(active.sum())}"
+                    f"/{int(mask.sum())} best={np.nanmin(best_val):.4f}")
+            return not active.any()
+
+        # pipelined readback: epoch e+1's round is dispatched before epoch
+        # e's metrics are read (same scheme as fast_loop; the lagged stop
+        # discards one in-flight epoch, uncounted)
         for epoch in range(ae_cfg.max_epochs):
             order = jnp.asarray(np.stack(
                 [hbm.epoch_order(len(train_ds), data_cfg.batch_size,
@@ -234,43 +287,18 @@ def ae_sharded_grid_search(
                 vparams, vbn, vopt, (images, labels), order, ekeys,
                 (alphas, lrs))
             vsum = engine.eval_round(vparams, vbn, val_data, (alphas,))
-            tsum, vsum = jax.device_get((tsum, vsum))
-            nv = vsum["n"]
-            for k in hist_keys:
-                for i in range(n_dev):
-                    history[f"train_{k}"][i].append(
-                        float(tsum[k][i]) / n_train_counted)
-                    history[f"val_{k}"][i].append(
-                        float(vsum[k][i]) / float(nv[i]))
-            val_loss = vsum["loss"] / nv
-            val_acc = vsum["acc"] / nv
-
-            improved = active & (val_loss < best_val)
-            best_val = np.where(improved, val_loss, best_val)
-            best_acc = np.where(improved, val_acc, best_acc)
-            best_epoch = np.where(improved, epoch, best_epoch)
-            bad = np.where(improved, 0, bad + 1)
-            newly_stopped = active & (bad >= ae_cfg.patience)
-            stopped_at = np.where(newly_stopped, epoch + 1, stopped_at)
-            active &= ~newly_stopped
-
-            # true best-epoch snapshots, only for configs that could still
-            # become the global winner (ckpt_val guards resume parity)
-            for i in np.flatnonzero(improved):
-                if val_loss[i] < min(ckpt_val, fallback_key if best is None
-                                     else best.best_val_loss):
-                    round_best_snaps[i] = (_slice_tree(vparams, i),
-                                           _slice_tree(vbn, i))
-            if log:
-                log(f"round epoch {epoch:3d}: active={int(active.sum())}"
-                    f"/{int(mask.sum())} best={np.nanmin(best_val):.4f}")
-            if not active.any():
+            snap = _device_copy((vparams, vbn))
+            if in_flight is not None and process(*in_flight):
+                in_flight = None
                 break
+            in_flight = (epoch, tsum, vsum, snap)
+        if in_flight is not None:
+            process(*in_flight)
 
         for i in np.flatnonzero(mask):
             ci, alpha, lr = chunk[i]
             key = GridResultStore.key(alpha=alpha, lr=lr)
-            n_hist = int(min(stopped_at[i], epoch + 1))
+            n_hist = int(min(stopped_at[i], n_processed))
             summary = {"alpha": alpha, "lr": lr,
                        "best_val_loss": float(best_val[i]),
                        "best_val_acc": float(best_acc[i]),
@@ -323,6 +351,8 @@ def ae_sharded_grid_search(
                                      "best_val_acc": fallback.best_val_acc,
                                      "best_epoch": fallback.best_epoch,
                                      "diverged": True})
+                fallback.params, fallback.bn_state = _to_host(
+                    (fallback.params, fallback.bn_state))
                 return SweepResult(fallback, fallback_hp, results)
             raise RuntimeError("sharded AE grid search produced no result "
                                "and no prior checkpoint exists")
@@ -337,6 +367,8 @@ def ae_sharded_grid_search(
         best = TrainResult(params, bn_state, ckpt_val,
                            float(ckpt_meta.get("best_val_acc", 0.0)),
                            int(ckpt_meta.get("best_epoch", -1)), 0, {})
+    else:
+        best.params, best.bn_state = _to_host((best.params, best.bn_state))
     return SweepResult(best, best_hp, results)
 
 
@@ -422,16 +454,9 @@ def mlp_sharded_grid_search(
         best_epoch = np.full((n_dev,), -1, np.int64)
         snapshots: Dict[int, Any] = {}
 
-        for epoch in range(mlp_cfg.epochs):
-            order = jnp.asarray(np.stack(
-                [hbm.epoch_order(len(train_y), batch_size, seed + int(ci),
-                                 epoch) for ci in cfg_idx]))
-            order = _shard_cfg_axis(mesh, order, mesh_axis)
-            ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
-                loop_keys, epoch)
-            vparams, vbn, vopt, tsum = engine.train_round_epoch(
-                vparams, vbn, vopt, (xs, ys), order, ekeys, (lrs, wd))
-            vsum = engine.eval_round(vparams, vbn, val_data, ())
+        in_flight = None  # (epoch, device tsum, device vsum, device snapshot)
+
+        def process(p_epoch, tsum, vsum, snap):
             tsum, vsum = jax.device_get((tsum, vsum))
             nv = vsum["n"]
             val_acc = vsum["acc"] / nv
@@ -443,14 +468,34 @@ def mlp_sharded_grid_search(
                                                / n_counted)
                 history["val_loss"][i].append(float(val_loss[i]))
                 history["val_acc"][i].append(float(val_acc[i]))
+            sp, sb = snap
             for i in np.flatnonzero(mask & (val_acc > best_acc)):
                 best_acc[i] = val_acc[i]
                 best_loss[i] = val_loss[i]
-                best_epoch[i] = epoch
-                snapshots[i] = (_slice_tree(vparams, i), _slice_tree(vbn, i))
+                best_epoch[i] = p_epoch
+                snapshots[i] = (_slice_tree(sp, i), _slice_tree(sb, i))
             if log:
-                log(f"round epoch {epoch:3d}: "
+                log(f"round epoch {p_epoch:3d}: "
                     f"best_val_acc={best_acc.max():.4f}")
+
+        # pipelined readback (fixed epoch count: the 1-epoch lag has no
+        # semantics here at all)
+        for epoch in range(mlp_cfg.epochs):
+            order = jnp.asarray(np.stack(
+                [hbm.epoch_order(len(train_y), batch_size, seed + int(ci),
+                                 epoch) for ci in cfg_idx]))
+            order = _shard_cfg_axis(mesh, order, mesh_axis)
+            ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                loop_keys, epoch)
+            vparams, vbn, vopt, tsum = engine.train_round_epoch(
+                vparams, vbn, vopt, (xs, ys), order, ekeys, (lrs, wd))
+            vsum = engine.eval_round(vparams, vbn, val_data, ())
+            snap = _device_copy((vparams, vbn))
+            if in_flight is not None:
+                process(*in_flight)
+            in_flight = (epoch, tsum, vsum, snap)
+        if in_flight is not None:
+            process(*in_flight)
 
         test_batches = None
         if test_x is not None:
@@ -511,4 +556,6 @@ def mlp_sharded_grid_search(
                            float(ckpt_meta.get("best_val_loss", float("inf"))),
                            ckpt_acc, int(ckpt_meta.get("best_epoch", -1)),
                            0, {})
+    else:
+        best.params, best.bn_state = _to_host((best.params, best.bn_state))
     return SweepResult(best, best_hp, results)
