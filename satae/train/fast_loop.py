@@ -175,8 +175,11 @@ def train_supervised_ae_scan(
                                             jax.device_get(bn_state))
         if log:
             log(f"resumed from {checkpoint_path} at epoch {start_epoch}")
+        resumed_epochs = start_epoch
         if bad >= patience:      # resumed a run that had already stopped
             start_epoch = max_epochs
+    else:
+        resumed_epochs = 0
 
     pipelined = not checkpoint_path
     pending = None  # (epoch, device tsum, device vsum, device snapshot)
@@ -208,7 +211,9 @@ def train_supervised_ae_scan(
             bad += 1
         return bad >= patience
 
-    epochs_done = start_epoch
+    # NOT start_epoch: a resumed already-stopped run sets start_epoch to
+    # max_epochs just to skip the loop; epochs_run must stay the real count
+    epochs_done = resumed_epochs
     for epoch in range(start_epoch, max_epochs):
         order = jnp.asarray(hbm.epoch_order(
             len(train_ds), data_cfg.batch_size, seed, epoch))

@@ -152,6 +152,11 @@ def ae_sharded_grid_search(
     n_dev = int(mesh.devices.size)
     hparams = [(float(a), float(lr)) for a in ae_cfg.alphas
                for lr in ae_cfg.learning_rates]
+    if len(train_ds) < data_cfg.batch_size:
+        raise ValueError(
+            f"train split ({len(train_ds)}) is smaller than batch_size "
+            f"({data_cfg.batch_size}); the sharded sweep trains on full "
+            "batches only — reduce batch_size")
     store = GridResultStore(Path(out_dir) / "validation_losses.json") \
         if out_dir else None
 
@@ -393,6 +398,10 @@ def mlp_sharded_grid_search(
     n_dev = int(mesh.devices.size)
     lrs_py = [float(lr) for lr in mlp_cfg.learning_rates]
     input_dim = int(np.shape(train_x)[-1])
+    if len(train_y) < batch_size:
+        raise ValueError(
+            f"train set ({len(train_y)}) is smaller than batch_size "
+            f"({batch_size}); the sharded sweep trains on full batches only")
 
     engine = ShardedSweepEngine(
         hbm.mlp_train_epoch_body(model_cfg), hbm.mlp_eval_body(model_cfg),
@@ -410,12 +419,15 @@ def mlp_sharded_grid_search(
     store = GridResultStore(Path(out_dir) / "mlp_results.json") \
         if out_dir else None
     results: Dict[str, Dict[str, float]] = {}
-    pending = [(ci, lr) for ci, lr in enumerate(lrs_py)
-               if store is None or GridResultStore.key(lr=lr) not in store]
+    pending: List[Tuple[int, float]] = []  # (cfg_idx, lr)
     for ci, lr in enumerate(lrs_py):
         key = GridResultStore.key(lr=lr)
         if store is not None and key in store:
             results[key] = store.results[key]
+            if log:
+                log(f"skip cached lr={lr}")
+        else:
+            pending.append((ci, lr))
 
     ckpt_acc = -1.0
     ckpt_meta: Dict[str, float] = {}
@@ -429,6 +441,16 @@ def mlp_sharded_grid_search(
     wd = _shard_cfg_axis(mesh, wd, mesh_axis)
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
+
+    # per-lr test evaluation resources, hoisted out of the round loop (a
+    # per-round jit of a fresh closure would recompile every round)
+    test_batches = None
+    if test_x is not None:
+        tds = ArrayDataset(np.asarray(test_x, np.float32),
+                           np.asarray(test_y, np.int32))
+        test_batches = tuple(jax.device_put(a) for a in
+                             hbm.padded_eval_batches(tds, batch_size))
+        jeval_single = jax.jit(hbm.mlp_eval_body(model_cfg))
 
     for chunk, mask in _chunk_pad(pending, n_dev):
         cfg_idx = np.array([c[0] for c in chunk])
@@ -497,13 +519,6 @@ def mlp_sharded_grid_search(
         if in_flight is not None:
             process(*in_flight)
 
-        test_batches = None
-        if test_x is not None:
-            tds = ArrayDataset(np.asarray(test_x, np.float32),
-                               np.asarray(test_y, np.int32))
-            test_batches = tuple(jax.device_put(a) for a in
-                                 hbm.padded_eval_batches(tds, batch_size))
-            jeval_single = jax.jit(hbm.mlp_eval_body(model_cfg))
         for i in np.flatnonzero(mask):
             ci, lr = chunk[i]
             key = GridResultStore.key(lr=lr)

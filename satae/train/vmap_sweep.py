@@ -260,8 +260,7 @@ def mlp_vmap_grid_search(
         vparams, vbn, vopt, tsum = vepoch(
             vparams, vbn, vopt, xs, ys, order, ekeys, lrs_d,
             jnp.asarray(mlp_cfg.weight_decay, jnp.float32))
-        m = jax.device_get(veval(vparams, vbn, vx, vy, vw))
-        tsum = jax.device_get(tsum)
+        m, tsum = jax.device_get((veval(vparams, vbn, vx, vy, vw), tsum))
         val_acc = m["acc"] / m["n"]
         val_loss = m["loss"] / m["n"]
         metric_hist["train_loss"].append(tsum["loss"] / n_counted)

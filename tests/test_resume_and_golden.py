@@ -48,6 +48,23 @@ def test_checkpoint_resume_matches_uninterrupted(splits, tmp_path):
                                                   rel=1e-5)
 
 
+def test_resume_of_stopped_run_keeps_real_epoch_count(splits, tmp_path):
+    """Resuming a run whose early stopping already triggered must return the
+    REAL epoch count, not max_epochs (the loop-skip sentinel)."""
+    kwargs = dict(model_cfg=MODEL_CFG, data_cfg=DATA_CFG, alpha=35.0,
+                  lr=0.5, patience=1, seed=0)  # divergent lr stops fast
+    ckpt = str(tmp_path / "state.msgpack")
+    first = train_supervised_ae_scan(splits.train, splits.val, max_epochs=30,
+                                     checkpoint_path=ckpt, checkpoint_every=1,
+                                     **kwargs)
+    assert first.epochs_run < 30
+    resumed = train_supervised_ae_scan(splits.train, splits.val,
+                                       max_epochs=30, checkpoint_path=ckpt,
+                                       checkpoint_every=1, **kwargs)
+    assert resumed.epochs_run == first.epochs_run
+    assert resumed.best_epoch == first.best_epoch
+
+
 GOLDEN_FILE = Path(__file__).parent / "golden" / "ae_trajectory.json"
 
 
