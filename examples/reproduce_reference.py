@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--out", default="runs/repro")
     ap.add_argument("--quick", action="store_true",
                     help="small-scale smoke run (per_class=48, short grids)")
+    ap.add_argument("--synthetic-difficulty", default="easy",
+                    choices=("easy", "hard"),
+                    help="synthetic tier when --data is absent ('hard' "
+                         "lands in a realistic 60-90%% accuracy band)")
     args = ap.parse_args()
 
     from satae.api import SatAEPipeline
@@ -52,13 +56,16 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     if args.quick:
         cfg = PipelineConfig(
-            data=DataConfig(root=args.data, per_class=96),
+            data=DataConfig(root=args.data, per_class=96,
+                            synthetic_difficulty=args.synthetic_difficulty),
             ae=AETrainConfig(alphas=(20.0, 35.0),
                              learning_rates=(1e-3, 5e-3), max_epochs=15),
             mlp=MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=12))
         n_inits = 50
     else:
-        cfg = PipelineConfig(data=DataConfig(root=args.data))  # full scale
+        cfg = PipelineConfig(data=DataConfig(
+            root=args.data,
+            synthetic_difficulty=args.synthetic_difficulty))  # full scale
         n_inits = 1000
     log = MetricsLogger(out / "metrics.jsonl")
     sw = Stopwatch()

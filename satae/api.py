@@ -86,16 +86,26 @@ class SatAEPipeline:
         if grid:
             if cfg.runtime.n_devices:
                 # config-parallel sweep over the mesh: one grid config per
-                # device per round, standard convs, zero collectives
-                from satae.parallel import make_mesh
+                # mesh row per round; grid_dp>1 adds a data axis so each
+                # config trains data-parallel (2-D config x data mesh)
+                from satae.parallel import make_grid_mesh, make_mesh
                 from satae.train.shard_sweep import ae_sharded_grid_search
-                mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+                if cfg.runtime.grid_dp > 1:
+                    if cfg.runtime.n_devices % cfg.runtime.grid_dp:
+                        raise ValueError(
+                            f"n_devices ({cfg.runtime.n_devices}) must be "
+                            f"divisible by grid_dp ({cfg.runtime.grid_dp})")
+                    mesh = make_grid_mesh(
+                        cfg.runtime.n_devices // cfg.runtime.grid_dp,
+                        cfg.runtime.grid_dp)
+                else:
+                    mesh = make_mesh(cfg.runtime.n_devices,
+                                     cfg.runtime.mesh_axis)
                 sweep = ae_sharded_grid_search(
                     splits.train, splits.val, model_cfg=cfg.model,
                     data_cfg=cfg.data, ae_cfg=cfg.ae, mesh=mesh,
                     seed=cfg.runtime.seed, out_dir=out_dir,
                     compute_dtype=dtype, log=log,
-                    mesh_axis=cfg.runtime.mesh_axis,
                     save_curves=cfg.runtime.save_grid_curves)
             elif cfg.runtime.parallel_configs:
                 from satae.train.vmap_sweep import ae_vmap_grid_search
@@ -144,14 +154,22 @@ class SatAEPipeline:
 
         if grid:
             if cfg.runtime.n_devices:
-                from satae.parallel import make_mesh
+                from satae.parallel import make_grid_mesh, make_mesh
                 from satae.train.shard_sweep import mlp_sharded_grid_search
-                mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+                if cfg.runtime.grid_dp > 1:
+                    # same 2-D mesh as the AE sweep; the MLP engine only
+                    # uses the config axis (per-config MLPs are tiny)
+                    mesh = make_grid_mesh(
+                        cfg.runtime.n_devices // cfg.runtime.grid_dp,
+                        cfg.runtime.grid_dp)
+                else:
+                    mesh = make_mesh(cfg.runtime.n_devices,
+                                     cfg.runtime.mesh_axis)
                 msweep = mlp_sharded_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     mesh=mesh, batch_size=cfg.data.batch_size,
                     seed=cfg.runtime.seed, out_dir=out_dir, log=log,
-                    test_x=Xte, test_y=yte, mesh_axis=cfg.runtime.mesh_axis,
+                    test_x=Xte, test_y=yte,
                     save_curves=cfg.runtime.save_grid_curves)
             elif cfg.runtime.parallel_configs:
                 from satae.train.vmap_sweep import mlp_vmap_grid_search

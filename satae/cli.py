@@ -36,6 +36,7 @@ def _config_from_args(args) -> "PipelineConfig":
                               compute_dtype=args.dtype,
                               use_pallas=args.pallas,
                               n_devices=args.n_devices,
+                              grid_dp=getattr(args, "grid_dp", 1),
                               debug_nans=args.debug_nans,
                               save_grid_curves=getattr(args, "save_curves",
                                                        False)),
@@ -167,6 +168,10 @@ def build_parser() -> argparse.ArgumentParser:
                        help="device count: data-parallel training "
                             "(grid=False) or config-parallel sweeps "
                             "(grid=True, one config per device per round)")
+        p.add_argument("--grid-dp", type=int, default=1,
+                       help="grid mode: data-parallel devices per config "
+                            "(2-D config x data mesh; n-devices must be "
+                            "divisible by this)")
         p.add_argument("--ae-epochs", type=int, default=None,
                        help="override AE max_epochs (default 80)")
         p.add_argument("--mlp-epochs", type=int, default=None,

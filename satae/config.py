@@ -115,6 +115,7 @@ class RuntimeConfig:
     use_pallas: bool = False  # fused Pallas kernels for encode/predict
     mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
     n_devices: Optional[int] = None  # data-parallel device count (None = 1)
+    grid_dp: int = 1  # grid mode: data-parallel devices PER CONFIG (2-D mesh)
     parallel_configs: bool = False  # vmapped grid sweep instead of sequential
     debug_nans: bool = False  # jax_debug_nans during fit (triage runs)
     save_grid_curves: bool = False  # per-config curve PNGs under out_dir/curves/

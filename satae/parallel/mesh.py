@@ -31,6 +31,24 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_grid_mesh(n_config: int, n_data: int = 1,
+                   config_axis: str = "config",
+                   data_axis: str = "data") -> Mesh:
+    """2-D (config x data) mesh for data-parallel grid sweeps: ``n_config``
+    grid configs per round, each trained data-parallel over ``n_data``
+    devices. Lay the DATA axis innermost so each config's gradient/BN
+    collectives ride neighboring-device ICI links, not the long way around
+    the torus."""
+    need = n_config * n_data
+    devices = jax.devices()
+    if need > len(devices):
+        raise ValueError(f"requested {need} devices "
+                         f"({n_config} config x {n_data} data), "
+                         f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_config, n_data)
+    return Mesh(grid, (config_axis, data_axis))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard axis 0 over the mesh, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

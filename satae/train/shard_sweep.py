@@ -75,17 +75,21 @@ def _replicate(mesh, tree: Any) -> Any:
 
 
 class ShardedSweepEngine:
-    """Compiled shard_map programs: per-device single-config train epoch +
-    eval, with the config axis laid over the mesh. One compilation serves
-    every round of every sweep (alpha/lr/keys are traced)."""
+    """Compiled shard_map programs: per-config single-config train epoch +
+    eval, with the CONFIG axis laid manually over the mesh's first axis. On
+    a 2-D (config, data) mesh (parallel.make_grid_mesh), the data axis stays
+    in GSPMD's automatic mode — each config's training is itself
+    data-parallel (batch sharded, gradient/BatchNorm psums over ICI) via the
+    sharding constraints inside the epoch body. One compilation serves every
+    round of every sweep (alpha/lr/keys are traced)."""
 
-    def __init__(self, train_body, eval_body, mesh, axis: str = "data", *,
+    def __init__(self, train_body, eval_body, mesh, *,
                  n_scalar_train: int, n_scalar_eval: int):
         # train_body(params, bn, opt, data..., order, key, scalars...) where
         # everything except the data arrays carries a leading config axis.
         self.mesh = mesh
-        self.axis = axis
-        cfg = P(axis)
+        self.cfg_axis = mesh.axis_names[0]
+        cfg = P(self.cfg_axis)
         rep = P()
 
         def train_dev(params, bn, opt, data, order, key, scalars):
@@ -101,20 +105,22 @@ class ShardedSweepEngine:
 
         # check_vma=False: the scan carries inside the shared epoch bodies
         # start from unvarying jnp.zeros(()) literals, which trips the
-        # varying-mesh-axes check even though the program is collective-free
-        # (each device is a fully independent single-config training).
+        # varying-mesh-axes check even though the manual axis carries no
+        # collectives (each config is an independent training).
         self.train_round_epoch = jax.jit(
             jax.shard_map(
                 train_dev, mesh=mesh,
                 in_specs=(cfg, cfg, cfg, rep, cfg, cfg,
                           (cfg,) * n_scalar_train),
-                out_specs=(cfg, cfg, cfg, cfg), check_vma=False),
+                out_specs=(cfg, cfg, cfg, cfg),
+                axis_names={self.cfg_axis}, check_vma=False),
             donate_argnums=(0, 1, 2))
         self.eval_round = jax.jit(
             jax.shard_map(
                 eval_dev, mesh=mesh,
                 in_specs=(cfg, cfg, rep, (cfg,) * n_scalar_eval),
-                out_specs=cfg, check_vma=False))
+                out_specs=cfg,
+                axis_names={self.cfg_axis}, check_vma=False))
 
 
 def _chunk_pad(items: List, n: int) -> List[Tuple[List, np.ndarray]]:
@@ -143,13 +149,17 @@ def ae_sharded_grid_search(
     out_dir: Optional[str] = None,
     compute_dtype=jnp.float32,
     log: Optional[LogFn] = None,
-    mesh_axis: str = "data",
     save_curves: bool = False,
 ) -> SweepResult:
-    """Config-sharded alpha x lr sweep: n_devices configs per round, each on
-    its own device (reference C16 over the mesh). Same caching/resume/global
-    -best-checkpoint contract as gridsearch.ae_grid_search."""
-    n_dev = int(mesh.devices.size)
+    """Config-sharded alpha x lr sweep over a 1-D or 2-D mesh (reference C16
+    over the mesh). 1-D: one config per device per round. 2-D
+    (parallel.make_grid_mesh): mesh axis 0 carries configs, axis 1 makes
+    each config's training data-parallel (dataset batch-sharded, XLA psums
+    for gradients and BatchNorm statistics over ICI). Same caching/resume/
+    global-best-checkpoint contract as gridsearch.ae_grid_search."""
+    cfg_axis = mesh.axis_names[0]
+    dp_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    n_dev = int(mesh.shape[cfg_axis])
     hparams = [(float(a), float(lr)) for a in ae_cfg.alphas
                for lr in ae_cfg.learning_rates]
     if len(train_ds) < data_cfg.batch_size:
@@ -182,12 +192,29 @@ def ae_sharded_grid_search(
             pending.append((ci, alpha, lr))
 
     engine = ShardedSweepEngine(
-        hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype),
+        hbm.ae_train_epoch_body(model_cfg, data_cfg, compute_dtype,
+                                mesh=mesh if dp_axis else None,
+                                mesh_axis=dp_axis or "data"),
         hbm.ae_eval_body(model_cfg, compute_dtype),
-        mesh, mesh_axis, n_scalar_train=2, n_scalar_eval=1)
+        mesh, n_scalar_train=2, n_scalar_eval=1)
 
-    images = _replicate(mesh, jnp.asarray(train_ds.images))
-    labels = _replicate(mesh, jnp.asarray(train_ds.labels))
+    if dp_axis is None:
+        images = _replicate(mesh, jnp.asarray(train_ds.images))
+        labels = _replicate(mesh, jnp.asarray(train_ds.labels))
+    else:
+        # 2-D mesh: the dataset lives batch-sharded over the data axis
+        # (replicated over configs); zero-padding rows make the sample axis
+        # divisible — epoch_order never samples indices >= len(train_ds)
+        n_dp = int(mesh.shape[dp_axis])
+        pad = (-len(train_ds)) % n_dp
+        imgs_h, labs_h = train_ds.images, train_ds.labels
+        if pad:
+            imgs_h = np.concatenate(
+                [imgs_h, np.zeros((pad,) + imgs_h.shape[1:], imgs_h.dtype)])
+            labs_h = np.concatenate([labs_h, np.zeros((pad,), labs_h.dtype)])
+        images = jax.device_put(
+            imgs_h, NamedSharding(mesh, P(dp_axis, None, None, None)))
+        labels = jax.device_put(labs_h, NamedSharding(mesh, P(dp_axis)))
     val_data = _replicate(
         mesh, tuple(jnp.asarray(a) for a in
                     hbm.padded_eval_batches(val_ds, data_cfg.batch_size)))
@@ -218,12 +245,12 @@ def ae_sharded_grid_search(
         )(init_keys)
         vopt = adam_init(vparams)
         vopt["step"] = jnp.zeros((n_dev,), jnp.int32)
-        vparams = _shard_cfg_axis(mesh, vparams, mesh_axis)
-        vbn = _shard_cfg_axis(mesh, vbn, mesh_axis)
-        vopt = _shard_cfg_axis(mesh, vopt, mesh_axis)
-        alphas = _shard_cfg_axis(mesh, alphas, mesh_axis)
-        lrs = _shard_cfg_axis(mesh, lrs, mesh_axis)
-        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), mesh_axis)
+        vparams = _shard_cfg_axis(mesh, vparams, cfg_axis)
+        vbn = _shard_cfg_axis(mesh, vbn, cfg_axis)
+        vopt = _shard_cfg_axis(mesh, vopt, cfg_axis)
+        alphas = _shard_cfg_axis(mesh, alphas, cfg_axis)
+        lrs = _shard_cfg_axis(mesh, lrs, cfg_axis)
+        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), cfg_axis)
 
         history = {f"{p}_{k}": [[] for _ in range(n_dev)]
                    for p in ("train", "val") for k in hist_keys}
@@ -285,7 +312,7 @@ def ae_sharded_grid_search(
             order = jnp.asarray(np.stack(
                 [hbm.epoch_order(len(train_ds), data_cfg.batch_size,
                                  seed + int(ci), epoch) for ci in cfg_idx]))
-            order = _shard_cfg_axis(mesh, order, mesh_axis)
+            order = _shard_cfg_axis(mesh, order, cfg_axis)
             ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
                 loop_keys, epoch)
             vparams, vbn, vopt, tsum = engine.train_round_epoch(
@@ -390,12 +417,15 @@ def mlp_sharded_grid_search(
     log: Optional[LogFn] = None,
     test_x: Optional[np.ndarray] = None,
     test_y: Optional[np.ndarray] = None,
-    mesh_axis: str = "data",
     save_curves: bool = False,
 ) -> SweepResult:
     """Config-sharded 11-lr MLP sweep (reference C22 over the mesh): fixed
-    epochs, best by val accuracy, per-lr best-epoch test accuracy."""
-    n_dev = int(mesh.devices.size)
+    epochs, best by val accuracy, per-lr best-epoch test accuracy. On a 2-D
+    (config, data) mesh only the config axis is used — per-config MLP
+    training is far too small to data-parallelize; the extra axis computes
+    replicated (correct, just redundant)."""
+    cfg_axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[cfg_axis])
     lrs_py = [float(lr) for lr in mlp_cfg.learning_rates]
     input_dim = int(np.shape(train_x)[-1])
     if len(train_y) < batch_size:
@@ -405,7 +435,7 @@ def mlp_sharded_grid_search(
 
     engine = ShardedSweepEngine(
         hbm.mlp_train_epoch_body(model_cfg), hbm.mlp_eval_body(model_cfg),
-        mesh, mesh_axis, n_scalar_train=2, n_scalar_eval=0)
+        mesh, n_scalar_train=2, n_scalar_eval=0)
 
     xs = _replicate(mesh, jnp.asarray(np.asarray(train_x, np.float32)))
     ys = _replicate(mesh, jnp.asarray(np.asarray(train_y, np.int32)))
@@ -438,7 +468,7 @@ def mlp_sharded_grid_search(
             ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
 
     wd = jnp.full((n_dev,), mlp_cfg.weight_decay, jnp.float32)
-    wd = _shard_cfg_axis(mesh, wd, mesh_axis)
+    wd = _shard_cfg_axis(mesh, wd, cfg_axis)
     best: Optional[TrainResult] = None
     best_hp: Dict[str, float] = {}
 
@@ -463,11 +493,11 @@ def mlp_sharded_grid_search(
             lambda k: mlp_init(k, model_cfg, input_dim=input_dim))(init_keys)
         vopt = adam_init(vparams)
         vopt["step"] = jnp.zeros((n_dev,), jnp.int32)
-        vparams = _shard_cfg_axis(mesh, vparams, mesh_axis)
-        vbn = _shard_cfg_axis(mesh, vbn, mesh_axis)
-        vopt = _shard_cfg_axis(mesh, vopt, mesh_axis)
-        lrs = _shard_cfg_axis(mesh, lrs, mesh_axis)
-        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), mesh_axis)
+        vparams = _shard_cfg_axis(mesh, vparams, cfg_axis)
+        vbn = _shard_cfg_axis(mesh, vbn, cfg_axis)
+        vopt = _shard_cfg_axis(mesh, vopt, cfg_axis)
+        lrs = _shard_cfg_axis(mesh, lrs, cfg_axis)
+        loop_keys = _shard_cfg_axis(mesh, np.asarray(loop_keys), cfg_axis)
 
         history = {k: [[] for _ in range(n_dev)]
                    for k in ("train_loss", "train_acc", "val_loss", "val_acc")}
@@ -506,7 +536,7 @@ def mlp_sharded_grid_search(
             order = jnp.asarray(np.stack(
                 [hbm.epoch_order(len(train_y), batch_size, seed + int(ci),
                                  epoch) for ci in cfg_idx]))
-            order = _shard_cfg_axis(mesh, order, mesh_axis)
+            order = _shard_cfg_axis(mesh, order, cfg_axis)
             ekeys = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
                 loop_keys, epoch)
             vparams, vbn, vopt, tsum = engine.train_round_epoch(

@@ -204,6 +204,39 @@ def test_sharded_mlp_grid_matches_sequential(tmp_path):
     assert (tmp_path / "mlp_global_best.msgpack").exists()
 
 
+def test_sharded_ae_grid_2d_mesh_matches_sequential():
+    """2-D (config x data) mesh: each config trains data-parallel over the
+    data axis while configs parallelize over the config axis. Selection must
+    match the sequential engine; per-config val losses agree to DP reduction
+    -order noise (diverged configs are chaotic and excluded)."""
+    from satae.config import AETrainConfig
+    from satae.data.ingest import RawDataset
+    from satae.data.pipeline import make_splits
+    from satae.data.synthetic import make_synthetic_eurosat
+    from satae.parallel import make_grid_mesh
+    from satae.train.gridsearch import ae_grid_search
+    from satae.train.shard_sweep import ae_sharded_grid_search
+
+    data_cfg = DataConfig(per_class=24, image_size=32, batch_size=32)
+    imgs, labels, classes = make_synthetic_eurosat(per_class=24,
+                                                   image_size=32, seed=0)
+    splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+    ae_cfg = AETrainConfig(alphas=(20.0, 35.0),
+                           learning_rates=(1e-3, 5e-3, 5e-1),
+                           max_epochs=3, patience=2)
+    seq = ae_grid_search(splits.train, splits.val, model_cfg=MODEL_CFG,
+                         data_cfg=data_cfg, ae_cfg=ae_cfg, seed=0)
+    shd = ae_sharded_grid_search(
+        splits.train, splits.val, model_cfg=MODEL_CFG, data_cfg=data_cfg,
+        ae_cfg=ae_cfg, mesh=make_grid_mesh(4, 2), seed=0)
+    assert shd.best_hparams == seq.best_hparams
+    for k in seq.results:
+        a = seq.results[k]["best_val_loss"]
+        b = shd.results[k]["best_val_loss"]
+        if np.isfinite(a) and a < 10.0:  # stable configs only
+            assert b == pytest.approx(a, rel=5e-2)
+
+
 def test_fit_grid_data_parallel(tmp_path):
     """api.fit(grid=True) with RuntimeConfig(n_devices=8) runs the sharded
     sweeps end to end (the path that used to raise NotImplementedError)."""
