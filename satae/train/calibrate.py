@@ -56,14 +56,21 @@ def loss_ratio_calibration(
                                                      train=True, cfg=model_cfg)
         return cross_entropy(logits, labels_d) / mse_loss(x_hat, imgs)
 
-    ratios = []
-    vchunk = jax.jit(jax.vmap(one_init))
+    # lax.scan over inits, NOT vmap: vmapping per-init conv weights lowers
+    # to grouped convolutions, which waste the MXU at these channel counts
+    # (the repo-wide finding from the grid engines, CLAUDE.md) — measured
+    # ~0.5 s/init vmapped-in-chunks vs the whole 1000-init experiment as one
+    # sequential scan program. ``chunk`` splits the scan into a few
+    # dispatches so huge n_inits don't build one enormous program.
+    scan_ratio = jax.jit(lambda keys: jax.lax.scan(
+        lambda carry, k: (carry, one_init(k)), None, keys)[1])
     base = jax.random.PRNGKey(seed + 1)
+    ratios = []
     for lo in range(0, n_inits, chunk):
         n = min(chunk, n_inits - lo)
         keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
             base, jnp.arange(lo, lo + n))
-        ratios.append(vchunk(keys))  # device refs; chunks stay in flight
+        ratios.append(scan_ratio(keys))  # device refs; stay in flight
     # one host readback for all chunks (per-chunk np.asarray would serialize
     # a host round-trip per chunk)
     return np.concatenate([np.asarray(r) for r in jax.device_get(ratios)])
