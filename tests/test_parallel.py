@@ -259,6 +259,25 @@ def test_fit_grid_data_parallel(tmp_path):
     assert (tmp_path / "mlp_global_best.msgpack").exists()
 
 
+def test_fit_grid_2d_mesh(tmp_path):
+    """api.fit(grid=True) with grid_dp=2 builds the 2-D config x data mesh
+    (4 configs per round, each data-parallel over 2 devices)."""
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, MLPTrainConfig, PipelineConfig,
+                              RuntimeConfig)
+
+    cfg = PipelineConfig(
+        data=DataConfig(per_class=24, image_size=32, batch_size=32),
+        model=MODEL_CFG,
+        ae=AETrainConfig(alphas=(35.0,), learning_rates=(2e-3, 5e-3),
+                         max_epochs=2, patience=15),
+        mlp=MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=2),
+        runtime=RuntimeConfig(n_devices=8, grid_dp=2))
+    summary = SatAEPipeline(cfg).fit(grid=True, out_dir=str(tmp_path))
+    assert np.isfinite(summary.ae_val_loss)
+    assert (tmp_path / "ae_global_best.msgpack").exists()
+
+
 def test_dp_multiple_steps_run():
     """Run a few sharded optimizer steps end to end (compile + execute)."""
     params, bn_state, opt_state, imgs, labels = _setup()
