@@ -28,7 +28,6 @@ from satae.models.supervised_ae import supervised_ae_init
 from satae.train import steps as S
 from satae.train.extract import extract_features, make_encode_step
 from satae.train.gridsearch import ae_grid_search, mlp_grid_search
-from satae.train.loop import train_supervised_ae
 
 # Reference-optimal single-config hyperparameters (Report.md:2407, 3117):
 BEST_ALPHA = 35.0
@@ -122,9 +121,13 @@ class SatAEPipeline:
                     save_curves=cfg.runtime.save_grid_curves)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
         elif cfg.runtime.n_devices:
+            # data-parallel scan epochs: dataset sharded over the mesh, one
+            # dispatch per epoch (the per-batch loop.py engine stays as the
+            # step-debuggable alternative)
             from satae.parallel import make_mesh
+            from satae.train.fast_loop import train_supervised_ae_scan
             mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
-            ae_res = train_supervised_ae(
+            ae_res = train_supervised_ae_scan(
                 splits.train, splits.val, model_cfg=cfg.model,
                 data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
                 max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,

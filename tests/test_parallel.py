@@ -278,6 +278,24 @@ def test_fit_grid_2d_mesh(tmp_path):
     assert (tmp_path / "ae_global_best.msgpack").exists()
 
 
+def test_fit_single_config_data_parallel():
+    """api.fit(grid=False) with n_devices uses the mesh-sharded scan-epoch
+    engine end to end (dataset sharded over the mesh, grads/BN psummed)."""
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, MLPTrainConfig, PipelineConfig,
+                              RuntimeConfig)
+
+    cfg = PipelineConfig(
+        data=DataConfig(per_class=24, image_size=32, batch_size=32),
+        model=MODEL_CFG,
+        ae=AETrainConfig(max_epochs=2, patience=15),
+        mlp=MLPTrainConfig(epochs=2),
+        runtime=RuntimeConfig(n_devices=8))
+    summary = SatAEPipeline(cfg).fit(grid=False)
+    assert np.isfinite(summary.ae_val_loss)
+    assert 0.0 <= summary.test_acc <= 1.0
+
+
 def test_dp_multiple_steps_run():
     """Run a few sharded optimizer steps end to end (compile + execute)."""
     params, bn_state, opt_state, imgs, labels = _setup()
