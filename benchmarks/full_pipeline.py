@@ -39,6 +39,9 @@ def main() -> None:
                          "(default) lands in a 60-90%% accuracy band so the "
                          "grid heatmap has structure and regressions move "
                          "the number")
+    ap.add_argument("--aug-rng", default="threefry",
+                    choices=("threefry", "rbg"),
+                    help="augmentation PRNG implementation")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +51,8 @@ def main() -> None:
 
     cfg = PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class,
-                        synthetic_difficulty=args.synthetic_difficulty),
+                        synthetic_difficulty=args.synthetic_difficulty,
+                        aug_rng_impl=args.aug_rng),
         runtime=RuntimeConfig(parallel_configs=args.vmap,
                               compute_dtype=args.dtype),
     )
@@ -68,6 +72,7 @@ def main() -> None:
         "per_class": args.per_class,
         "data": args.data or f"synthetic-{args.synthetic_difficulty}",
         "compute_dtype": args.dtype,
+        "aug_rng": args.aug_rng,
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         **dataclasses.asdict(summary),
     }

@@ -28,7 +28,8 @@ def _config_from_args(args) -> "PipelineConfig":
         data=DataConfig(root=args.data, per_class=args.per_class,
                         cache_dir=args.cache_dir,
                         synthetic_difficulty=getattr(
-                            args, "synthetic_difficulty", "easy")),
+                            args, "synthetic_difficulty", "easy"),
+                        aug_rng_impl=getattr(args, "aug_rng", "threefry")),
         ae=ae,
         mlp=mlp,
         runtime=RuntimeConfig(seed=args.seed,
@@ -70,7 +71,8 @@ def cmd_calibrate(args) -> None:
     data_cfg = DataConfig(root=args.data, per_class=args.per_class,
                           cache_dir=args.cache_dir,
                           synthetic_difficulty=getattr(
-                              args, "synthetic_difficulty", "easy"))
+                              args, "synthetic_difficulty", "easy"),
+                          aug_rng_impl=getattr(args, "aug_rng", "threefry"))
     raw = load_dataset(data_cfg)
     splits = make_splits(raw, data_cfg)
     imgs, labels = next(iter_batches(splits.train, data_cfg.batch_size,
@@ -178,6 +180,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="override MLP epochs (default 30)")
         p.add_argument("--debug-nans", action="store_true",
                        help="enable jax_debug_nans (slow; triage runs)")
+        p.add_argument("--aug-rng", default="threefry",
+                       choices=("threefry", "rbg"),
+                       help="augmentation PRNG: 'rbg' (XLA RngBitGenerator) "
+                            "is ~5%% faster per epoch, deterministic, but a "
+                            "different random stream than the default")
 
     p_fit = sub.add_parser("fit", help="run the full pipeline")
     common(p_fit)

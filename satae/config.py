@@ -58,6 +58,11 @@ class DataConfig:
     noise_std: float = 0.03  # Report.md:229
     cache_dir: Optional[str] = None  # decode-once uint8 array cache location
     synthetic_difficulty: str = "easy"  # "hard" = non-saturating stand-in tier
+    # augmentation PRNG implementation: "rbg" (XLA RngBitGenerator) is ~5%
+    # faster per batch-64 epoch than threefry (measured, docs/PERF.md) and
+    # still deterministic, but draws a different random stream — default
+    # stays threefry so golden trajectories are stable
+    aug_rng_impl: str = "threefry"
 
     def __post_init__(self):
         if abs(sum(self.split_fractions) - 1.0) > 1e-6:
@@ -67,6 +72,10 @@ class DataConfig:
             raise ValueError("per_class and batch_size must be positive")
         if self.noise_std < 0 or self.crop_padding < 0:
             raise ValueError("noise_std and crop_padding must be >= 0")
+        if self.aug_rng_impl not in ("threefry", "rbg"):
+            raise ValueError(
+                f"aug_rng_impl must be 'threefry' or 'rbg', "
+                f"got {self.aug_rng_impl!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -45,7 +45,8 @@ def loss_ratio_calibration(
     aug_key = jax.random.PRNGKey(seed)
     imgs = augment_train_batch(aug_key, jnp.asarray(imgs_u8),
                                crop_padding=data_cfg.crop_padding,
-                               noise_std=data_cfg.noise_std)
+                               noise_std=data_cfg.noise_std,
+                               rng_impl=data_cfg.aug_rng_impl)
     labels_d = jnp.asarray(labels)
 
     def one_init(key):

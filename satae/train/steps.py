@@ -43,7 +43,8 @@ def ae_train_step_body(model_cfg: ModelConfig, data_cfg: DataConfig,
              ) -> Tuple[Any, Any, Any, Metrics]:
         imgs = augment_train_batch(
             key, imgs_u8, crop_padding=data_cfg.crop_padding,
-            noise_std=data_cfg.noise_std, dtype=compute_dtype)
+            noise_std=data_cfg.noise_std, dtype=compute_dtype,
+            rng_impl=data_cfg.aug_rng_impl)
 
         def loss_fn(p):
             (x_hat, logits, _z), new_bn = supervised_ae_apply(
