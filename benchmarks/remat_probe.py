@@ -139,6 +139,15 @@ def time_epoch(model_cfg, data_cfg, lowp_opt: bool, iters: int = 6) -> float:
     orig = hbm.adam_update
     if lowp_opt:
         hbm.adam_update = adam_update_lowp
+    try:
+        return _time_epoch_inner(model_cfg, data_cfg, lowp_opt, iters)
+    finally:
+        # restore even on a relay/compile failure — leaving the bf16-moment
+        # Adam installed would silently corrupt later training in-process
+        hbm.adam_update = orig
+
+
+def _time_epoch_inner(model_cfg, data_cfg, lowp_opt: bool, iters: int) -> float:
     epoch_fn = jax.jit(hbm.ae_train_epoch_body(model_cfg, data_cfg),
                        donate_argnums=(0, 1, 2))
 
@@ -171,8 +180,6 @@ def time_epoch(model_cfg, data_cfg, lowp_opt: bool, iters: int = 6) -> float:
                 jax.random.PRNGKey(e), alpha, lr)
         float(msum["loss"])
         best = min(best, (time.perf_counter() - t0) / iters)
-    # restore the real adam_update for any later import users
-    hbm.adam_update = orig
     return best * 1e3
 
 

@@ -42,6 +42,9 @@ class FitSummary:
     mlp_val_acc: float
     mlp_hparams: Dict[str, float]
     test_acc: Optional[float] = None
+    # wall-clock per pipeline stage (data / ae / extract / mlp / eval),
+    # seconds — filled by fit() so full-scale runs record where time goes
+    stage_seconds: Optional[Dict[str, float]] = None
 
 
 class SatAEPipeline:
@@ -76,11 +79,26 @@ class SatAEPipeline:
     def _fit_inner(self, raw: Optional[RawDataset] = None, *,
                    grid: bool = False, log=None,
                    out_dir: Optional[str] = None) -> FitSummary:
+        import time
+
         cfg = self.config
+        stage_t: Dict[str, float] = {}
+        t_mark = time.perf_counter()
+
+        def _stage(name: str) -> None:
+            # stage boundaries are accurate because every stage ends with a
+            # host readback (sweep metrics / np latents / np predictions) —
+            # async dispatch cannot leak work across the mark
+            nonlocal t_mark
+            now = time.perf_counter()
+            stage_t[name] = round(now - t_mark, 2)
+            t_mark = now
+
         raw = raw or load_dataset(cfg.data)
         splits = make_splits(raw, cfg.data)
         self.classes = splits.classes
         dtype = cfg.compute_dtype
+        _stage("data")
 
         if grid:
             if cfg.runtime.n_devices:
@@ -143,6 +161,7 @@ class SatAEPipeline:
                 seed=cfg.runtime.seed, log=log, compute_dtype=dtype)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
+        _stage("ae")
 
         # Frozen-encoder latent extraction (Report.md:2590-2609).
         enc_p = self.ae_params["encoder"]
@@ -154,6 +173,7 @@ class SatAEPipeline:
                                     cfg.data.batch_size, encode_step)
         Xte, yte = extract_features(enc_p, enc_s, splits.test, cfg.model,
                                     cfg.data.batch_size, encode_step)
+        _stage("extract")
 
         if grid:
             if cfg.runtime.n_devices:
@@ -198,6 +218,7 @@ class SatAEPipeline:
         self.mlp_params, self.mlp_bn_state = mlp_res.params, mlp_res.bn_state
         self._encode_step = None
         self._predict_step = None
+        _stage("mlp")
 
         # final test evaluation on the already-extracted latents (no second
         # encoder pass over the test split)
@@ -205,8 +226,10 @@ class SatAEPipeline:
         test_preds = np.asarray(predict(self.mlp_params, self.mlp_bn_state,
                                         Xte))
         test_acc = float((test_preds == yte).mean())
+        _stage("eval")
         summary = FitSummary(ae_res.best_val_loss, ae_hp,
-                             mlp_res.best_val_acc, mlp_hp, test_acc)
+                             mlp_res.best_val_acc, mlp_hp, test_acc,
+                             stage_seconds=dict(stage_t))
         if out_dir:
             # meta must carry the selection metrics — ae_grid_search's resume
             # protection reads best_val_loss from ae_global_best.json
@@ -218,8 +241,9 @@ class SatAEPipeline:
                        self.mlp_params, self.mlp_bn_state,
                        meta={**mlp_hp, "best_val_acc": mlp_res.best_val_acc,
                              "best_epoch": mlp_res.best_epoch})
+            from satae.io.checkpoint import dump_strict_json
             (Path(out_dir) / "fit_summary.json").write_text(
-                json.dumps(dataclasses.asdict(summary), indent=2))
+                dump_strict_json(dataclasses.asdict(summary), indent=2))
             if self.classes:
                 (Path(out_dir) / "classes.json").write_text(
                     json.dumps(list(self.classes)))

@@ -15,6 +15,8 @@ import dataclasses
 import json
 from pathlib import Path
 
+from satae.io.checkpoint import dump_strict_json
+
 
 def _config_from_args(args) -> "PipelineConfig":
     from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
@@ -53,7 +55,7 @@ def cmd_fit(args) -> None:
     pipe = SatAEPipeline(cfg)
     log = MetricsLogger(Path(args.out) / "metrics.jsonl")
     summary = pipe.fit(grid=args.grid, out_dir=args.out, log=log)
-    print(json.dumps(dataclasses.asdict(summary), indent=2))
+    print(dump_strict_json(dataclasses.asdict(summary), indent=2))
 
     results_file = Path(args.out) / "validation_losses.json"
     if results_file.exists():
@@ -80,12 +82,12 @@ def cmd_calibrate(args) -> None:
     ratios = loss_ratio_calibration(imgs, labels, n_inits=args.n_inits,
                                     seed=args.seed)
     summary = CalibrationSummary.from_ratios(ratios)
-    print(json.dumps(dataclasses.asdict(summary), indent=2))
+    print(dump_strict_json(dataclasses.asdict(summary), indent=2))
     if args.out:
         Path(args.out).mkdir(parents=True, exist_ok=True)
         plots.ratio_histogram(ratios, Path(args.out) / "ratio_histogram.png")
         (Path(args.out) / "calibration.json").write_text(
-            json.dumps(dataclasses.asdict(summary), indent=2))
+            dump_strict_json(dataclasses.asdict(summary), indent=2))
 
 
 def cmd_evaluate(args) -> None:

@@ -76,6 +76,10 @@ class DataConfig:
             raise ValueError(
                 f"aug_rng_impl must be 'threefry' or 'rbg', "
                 f"got {self.aug_rng_impl!r}")
+        if self.synthetic_difficulty not in ("easy", "hard"):
+            raise ValueError(
+                f"synthetic_difficulty must be 'easy' or 'hard', "
+                f"got {self.synthetic_difficulty!r}")
 
 
 @dataclasses.dataclass(frozen=True)

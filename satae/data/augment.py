@@ -72,13 +72,14 @@ def augment_train_batch(key: jax.Array, imgs_u8: jax.Array, *,
     than threefry — opt in via ``DataConfig.aug_rng_impl``.
     """
     n, h, w, c = imgs_u8.shape
-    if rng_impl == "rbg" and jnp.issubdtype(key.dtype, jnp.uint32):
-        # raw threefry key (2,)uint32 -> typed rbg key ((4,)uint32 data)
-        key = jax.random.wrap_key_data(jnp.concatenate([key, key]),
-                                       impl="rbg")
-    elif rng_impl == "rbg":
-        kd = jax.random.key_data(key)
-        key = jax.random.wrap_key_data(jnp.concatenate([kd, kd]), impl="rbg")
+    if rng_impl == "rbg":
+        # re-key onto rbg: tile the key data up to rbg's (4,)uint32 key
+        # shape; a key that is already rbg-typed passes through unchanged
+        kd = key if jnp.issubdtype(key.dtype, jnp.uint32) \
+            else jax.random.key_data(key)
+        if kd.shape[-1] < 4:
+            kd = jnp.concatenate([kd, kd], axis=-1)[..., :4]
+        key = jax.random.wrap_key_data(kd, impl="rbg")
     kf, kc, kn = jax.random.split(key, 3)
     x = normalize(imgs_u8, dtype)
 

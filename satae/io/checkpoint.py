@@ -19,12 +19,46 @@ host-portable, no pickle.
 from __future__ import annotations
 
 import json
+import math
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
 from flax import serialization
+
+_NONFINITE_STRS = ("inf", "-inf", "nan")
+
+
+def _json_sanitize(obj: Any) -> Any:
+    """Replace non-finite floats with their string forms ('inf'/'-inf'/'nan')
+    so emitted files are strict JSON (json.dumps would otherwise write the
+    non-standard Infinity/NaN literals, which jq/JS/most parsers reject).
+    Diverged grid configs legitimately produce inf/NaN val losses."""
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return str(obj)
+    return obj
+
+
+def _json_restore(obj: Any) -> Any:
+    """Inverse of :func:`_json_sanitize` ('inf' -> float('inf') etc.), so
+    values read back from disk are numeric again."""
+    if isinstance(obj, dict):
+        return {k: _json_restore(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_restore(v) for v in obj]
+    if isinstance(obj, str) and obj in _NONFINITE_STRS:
+        return float(obj)
+    return obj
+
+
+def dump_strict_json(obj: Any, **kwargs) -> str:
+    """json.dumps that never emits non-standard Infinity/NaN literals."""
+    return json.dumps(_json_sanitize(obj), allow_nan=False, **kwargs)
 
 
 def save_pytree(path: str | Path, pytree: Any) -> None:
@@ -45,7 +79,8 @@ def save_model(path: str | Path, params: Any, bn_state: Any,
                meta: Optional[Dict[str, Any]] = None) -> None:
     save_pytree(path, {"params": params, "bn_state": bn_state})
     if meta is not None:
-        Path(path).with_suffix(".json").write_text(json.dumps(meta, indent=2))
+        Path(path).with_suffix(".json").write_text(
+            dump_strict_json(meta, indent=2))
 
 
 def load_model(path: str | Path, params_like: Any, bn_state_like: Any):
@@ -62,7 +97,7 @@ def save_train_state(path: str | Path, *, params: Any, bn_state: Any,
     save_pytree(path, {"params": params, "bn_state": bn_state,
                        "opt_state": opt_state})
     meta = {"epoch": int(epoch), **(extra or {})}
-    Path(path).with_suffix(".state.json").write_text(json.dumps(meta))
+    Path(path).with_suffix(".state.json").write_text(dump_strict_json(meta))
 
 
 def load_train_state(path: str | Path, *, params_like: Any,
@@ -71,7 +106,8 @@ def load_train_state(path: str | Path, *, params_like: Any,
     blob = load_pytree(path, {"params": params_like,
                               "bn_state": bn_state_like,
                               "opt_state": opt_state_like})
-    meta = json.loads(Path(path).with_suffix(".state.json").read_text())
+    meta = _json_restore(
+        json.loads(Path(path).with_suffix(".state.json").read_text()))
     return blob["params"], blob["bn_state"], blob["opt_state"], meta
 
 
@@ -83,7 +119,7 @@ class GridResultStore:
         self.path = Path(path)
         self.results: Dict[str, Dict[str, Any]] = {}
         if self.path.exists():
-            self.results = json.loads(self.path.read_text())
+            self.results = _json_restore(json.loads(self.path.read_text()))
 
     @staticmethod
     def key(**hparams) -> str:
@@ -96,7 +132,7 @@ class GridResultStore:
         self.results[key] = value
         self.path.parent.mkdir(parents=True, exist_ok=True)
         tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(self.results, indent=2))
+        tmp.write_text(dump_strict_json(self.results, indent=2))
         os.replace(tmp, self.path)
 
     def best(self, metric: str, mode: str = "min") -> Optional[Dict[str, Any]]:

@@ -25,10 +25,10 @@ def save_model_orbax(path: str | Path, params: Any, bn_state: Any,
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, blob, force=True)
     if meta is not None:
-        import json
+        from satae.io.checkpoint import dump_strict_json
 
         (path.parent / (path.name + ".meta.json")).write_text(
-            json.dumps(meta, indent=2))
+            dump_strict_json(meta, indent=2))
 
 
 def load_model_orbax(path: str | Path, params_like: Any, bn_state_like: Any):

@@ -4,8 +4,10 @@ The reference trains nothing here — it initializes 1000 fresh models
 (latent_dim=128, Report.md:504), runs ONE training batch through each, and
 histograms ratio = CE / MSE to justify alpha in [20, 40] (result: ~30-32,
 Report.md:534). Sequentially on GPU that is 1000 separate forwards; here the
-inits and forwards are vmapped in chunks, so the whole experiment is a few
-fused device programs.
+whole experiment is ONE lax.scan program over the init keys (a sequential
+scan, deliberately NOT a vmapped batch of models: vmapping the conv weights
+lowers to grouped convolutions, measured ~50x slower at this model size —
+see CLAUDE.md perf findings).
 """
 
 from __future__ import annotations

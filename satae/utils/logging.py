@@ -14,6 +14,8 @@ import time
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+from satae.io.checkpoint import dump_strict_json
+
 
 class MetricsLogger:
     def __init__(self, path: Optional[str | Path] = None, *,
@@ -29,7 +31,7 @@ class MetricsLogger:
         rec = {"t": round(time.time() - self._t0, 3), **record, **extra}
         if self.path:
             with self.path.open("a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write(dump_strict_json(rec) + "\n")
         if self.echo:
             parts = [f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                      for k, v in rec.items()]

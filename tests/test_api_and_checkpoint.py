@@ -107,3 +107,40 @@ def test_grid_store(tmp_path):
     # persisted across instances
     store2 = GridResultStore(tmp_path / "res.json")
     assert k1 in store2
+
+
+def test_json_artifacts_are_strict_json(tmp_path):
+    """Diverged configs produce inf/NaN val losses; the persisted JSON must
+    stay strict-parseable (no Infinity/NaN literals, which jq/JS reject) and
+    round-trip back to floats."""
+    import json
+    import math
+
+    from satae.io.checkpoint import save_model
+
+    def strict_loads(text):
+        def reject(_s):
+            raise AssertionError("non-standard JSON literal emitted")
+        return json.loads(text, parse_constant=reject)
+
+    store = GridResultStore(tmp_path / "res.json")
+    store.record(GridResultStore.key(alpha=20.0, lr=0.1),
+                 {"best_val_loss": float("inf"), "alpha": 20.0, "lr": 0.1})
+    store.record(GridResultStore.key(alpha=20.0, lr=0.05),
+                 {"best_val_loss": float("nan"), "alpha": 20.0, "lr": 0.05})
+    store.record(GridResultStore.key(alpha=35.0, lr=0.005),
+                 {"best_val_loss": 0.54, "alpha": 35.0, "lr": 0.005})
+    strict_loads((tmp_path / "res.json").read_text())
+    # reload restores numerics: best() arithmetic and resume both work
+    store2 = GridResultStore(tmp_path / "res.json")
+    assert store2.best("best_val_loss", "min")["alpha"] == 35.0
+    rows = list(store2.results.values())
+    assert any(isinstance(r["best_val_loss"], float)
+               and math.isinf(r["best_val_loss"]) for r in rows)
+
+    # save_model meta: the all-diverged fallback writes best_val_loss=inf;
+    # the sweep resume guard reads it back via float(...)
+    save_model(tmp_path / "m.msgpack", {"w": np.zeros(2)}, {},
+               meta={"best_val_loss": float("inf"), "diverged": True})
+    meta = strict_loads((tmp_path / "m.json").read_text())
+    assert math.isinf(float(meta["best_val_loss"]))

@@ -101,6 +101,12 @@ def test_augment_rbg_impl():
     typed = augment.augment_train_batch(jax.random.key(0), jnp.asarray(imgs),
                                         noise_std=0.0, rng_impl="rbg")
     assert typed.shape == out.shape
+    # ... including a key that is ALREADY rbg-typed ((4,)uint32 key data —
+    # must pass through, not get re-concatenated to an invalid (8,) key)
+    rbg_key = jax.random.key(0, impl="rbg")
+    native = augment.augment_train_batch(rbg_key, jnp.asarray(imgs),
+                                         noise_std=0.0, rng_impl="rbg")
+    assert native.shape == out.shape
 
     from satae.config import DataConfig
     with pytest.raises(ValueError):
