@@ -17,7 +17,6 @@ TPU-native improvements over the reference:
 from __future__ import annotations
 
 import dataclasses
-import json
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -27,9 +26,10 @@ import numpy as np
 from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
                           ModelConfig)
 from satae.data.pipeline import ArrayDataset
-from satae.io.checkpoint import GridResultStore, save_model
+from satae.io.checkpoint import GridResultStore
 from satae.train import steps as S
 from satae.train.loop import LogFn, TrainResult, train_mlp, train_supervised_ae
+from satae.train.sweep_common import SweepBook
 
 
 @dataclasses.dataclass
@@ -72,33 +72,16 @@ def ae_grid_search(
     else:
         train_step = S.make_ae_train_step(model_cfg, data_cfg, compute_dtype)
         eval_step = S.make_ae_eval_step(model_cfg, compute_dtype)
-    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
-        if out_dir else None
+    book = SweepBook(out_dir, ckpt_name="ae_global_best",
+                     store_name="validation_losses.json", mode="min",
+                     hp_keys=("alpha", "lr"))
 
-    # On resume, the existing global-best checkpoint competes with freshly
-    # trained configs — otherwise cached configs are silently excluded from
-    # best selection and their checkpoint gets overwritten by a worse model.
-    ckpt_val = float("inf")
-    ckpt_meta: Dict[str, float] = {}
-    if out_dir:
-        meta_file = Path(out_dir) / "ae_global_best.json"
-        if meta_file.exists():
-            ckpt_meta = json.loads(meta_file.read_text())
-            ckpt_val = float(ckpt_meta.get("best_val_loss", float("inf")))
-
-    best: Optional[TrainResult] = None
-    best_hp: Dict[str, float] = {}
-    fallback: Optional[TrainResult] = None  # least-bad if ALL diverge
-    fallback_hp: Dict[str, float] = {}
-    fallback_key = float("inf")
-    results: Dict[str, Dict[str, float]] = {}
     cfg_idx = -1
     for alpha in ae_cfg.alphas:
         for lr in ae_cfg.learning_rates:
             cfg_idx += 1
             key = GridResultStore.key(alpha=alpha, lr=lr)
-            if store is not None and key in store:
-                results[key] = store.results[key]
+            if book.cached(key):
                 if log:
                     log(f"skip cached alpha={alpha} lr={lr}")
                 continue
@@ -115,14 +98,11 @@ def ae_grid_search(
                     patience=ae_cfg.patience, seed=seed + cfg_idx,
                     compute_dtype=compute_dtype,
                     train_step=train_step, eval_step=eval_step)
-            summary = {"alpha": alpha, "lr": lr,
-                       "best_val_loss": res.best_val_loss,
-                       "best_val_acc": res.best_val_acc,
-                       "best_epoch": res.best_epoch,
-                       "epochs_run": res.epochs_run}
-            results[key] = summary
-            if store is not None:
-                store.record(key, summary)
+            book.record(key, {"alpha": alpha, "lr": lr,
+                              "best_val_loss": res.best_val_loss,
+                              "best_val_acc": res.best_val_acc,
+                              "best_epoch": res.best_epoch,
+                              "epochs_run": res.epochs_run})
             if save_curves and out_dir and res.history:
                 from satae.eval import plots
                 plots.loss_curves(
@@ -132,55 +112,18 @@ def ae_grid_search(
             if log:
                 log(f"alpha={alpha} lr={lr}: val_loss={res.best_val_loss:.4f} "
                     f"({res.epochs_run} epochs)")
-            if (best is None or res.best_val_loss < best.best_val_loss) \
-                    and res.best_val_loss < ckpt_val:
-                best = res
-                best_hp = {"alpha": alpha, "lr": lr}
-                if out_dir:
-                    save_model(Path(out_dir) / "ae_global_best.msgpack",
-                               res.params, res.bn_state,
-                               meta={**best_hp,
-                                     "best_val_loss": res.best_val_loss,
-                                     "best_val_acc": res.best_val_acc,
-                                     "best_epoch": res.best_epoch})
-            cand = float(np.nan_to_num(res.best_val_loss, nan=np.inf))
-            if fallback is None or cand < fallback_key:
-                fallback, fallback_hp, fallback_key = (
-                    res, {"alpha": alpha, "lr": lr}, cand)
-    if best is None or (ckpt_val < best.best_val_loss):
-        # The resumed checkpoint (from cached configs) is the global best —
-        # load it back so the returned model matches the recorded winner.
-        if not ckpt_meta:
-            if fallback is not None:
-                # every config diverged (inf/NaN val loss): return the
-                # least-bad end-of-run model like the vmapped engine does —
-                # and still write the checkpoint, so a later evaluate/load
-                # on out_dir never sees a missing/stale ae_global_best
-                if out_dir:
-                    save_model(Path(out_dir) / "ae_global_best.msgpack",
-                               fallback.params, fallback.bn_state,
-                               meta={**fallback_hp,
-                                     "best_val_loss": fallback.best_val_loss,
-                                     "best_val_acc": fallback.best_val_acc,
-                                     "best_epoch": fallback.best_epoch,
-                                     "diverged": True})
-                return SweepResult(fallback, fallback_hp, results)
-            raise RuntimeError("AE grid search produced no result and no "
-                               "prior checkpoint exists to resume from")
-        from satae.io.checkpoint import load_model
-        from satae.models.supervised_ae import supervised_ae_init
+            book.offer(res, {"alpha": alpha, "lr": lr})
+
+    def template():
         import jax
-        tmpl_p, tmpl_s = supervised_ae_init(
+
+        from satae.models.supervised_ae import supervised_ae_init
+        return supervised_ae_init(
             jax.random.PRNGKey(0), model_cfg, in_ch=data_cfg.channels,
             image_size=data_cfg.image_size)
-        params, bn_state = load_model(
-            Path(out_dir) / "ae_global_best.msgpack", tmpl_p, tmpl_s)
-        best_hp = {"alpha": float(ckpt_meta["alpha"]),
-                   "lr": float(ckpt_meta["lr"])}
-        best = TrainResult(params, bn_state, ckpt_val,
-                           float(ckpt_meta.get("best_val_acc", 0.0)),
-                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
-    return SweepResult(best, best_hp, results)
+
+    best, best_hp = book.resolve(template, "AE grid search")
+    return SweepResult(best, best_hp, book.results)
 
 
 def mlp_grid_search(
@@ -211,28 +154,14 @@ def mlp_grid_search(
     else:
         train_step = S.make_mlp_train_step(model_cfg)
         eval_step = S.make_mlp_eval_step(model_cfg)
-    store = GridResultStore(Path(out_dir) / "mlp_results.json") \
-        if out_dir else None
     test_eval = S.make_mlp_eval_step(model_cfg) if test_x is not None else None
-
-    best: Optional[TrainResult] = None
-    best_hp: Dict[str, float] = {}
-    results: Dict[str, Dict[str, float]] = {}
-
-    # resume support (like the AE sweep): skip cached configs and let the
-    # existing global-best checkpoint compete with freshly trained ones
-    ckpt_acc = -1.0
-    ckpt_meta: Dict[str, float] = {}
-    if out_dir:
-        meta_file = Path(out_dir) / "mlp_global_best.json"
-        if meta_file.exists():
-            ckpt_meta = json.loads(meta_file.read_text())
-            ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
+    book = SweepBook(out_dir, ckpt_name="mlp_global_best",
+                     store_name="mlp_results.json", mode="max",
+                     hp_keys=("lr",))
 
     for cfg_idx, lr in enumerate(mlp_cfg.learning_rates):
         key = GridResultStore.key(lr=lr)
-        if store is not None and key in store:
-            results[key] = store.results[key]
+        if book.cached(key):
             if log:
                 log(f"skip cached lr={lr}")
             continue
@@ -260,9 +189,7 @@ def mlp_grid_search(
                                            np.asarray(test_y, np.int32)),
                               batch_size)
             summary["test_acc"] = test_m["acc"]
-        results[key] = summary
-        if store is not None:
-            store.record(key, summary)
+        book.record(key, summary)
         if save_curves and out_dir and res.history:
             from satae.eval import plots
             plots.lr_curves(res.history,
@@ -270,32 +197,14 @@ def mlp_grid_search(
                             title=f"MLP lr={lr:g}")
         if log:
             log(f"lr={lr}: val_acc={res.best_val_acc:.4f}")
-        if (best is None or res.best_val_acc > best.best_val_acc) \
-                and res.best_val_acc > ckpt_acc:
-            best = res
-            best_hp = {"lr": lr}
-            if out_dir:
-                save_model(Path(out_dir) / "mlp_global_best.msgpack",
-                           res.params, res.bn_state,
-                           meta={**best_hp, "best_val_acc": res.best_val_acc,
-                                 "best_val_loss": res.best_val_loss,
-                                 "best_epoch": res.best_epoch})
-    if best is None or ckpt_acc > best.best_val_acc:
-        # the resumed checkpoint (from cached configs) remains the winner
-        if not ckpt_meta:
-            raise RuntimeError("MLP grid search produced no result and no "
-                               "prior checkpoint exists to resume from")
+        book.offer(res, {"lr": lr})
+
+    def template():
         import jax
 
-        from satae.io.checkpoint import load_model
         from satae.models.mlp import mlp_init
-        tmpl_p, tmpl_s = mlp_init(jax.random.PRNGKey(0), model_cfg,
-                                  input_dim=train_x.shape[-1])
-        params, bn_state = load_model(
-            Path(out_dir) / "mlp_global_best.msgpack", tmpl_p, tmpl_s)
-        best_hp = {"lr": float(ckpt_meta["lr"])}
-        best = TrainResult(params, bn_state,
-                           float(ckpt_meta.get("best_val_loss", float("inf"))),
-                           ckpt_acc, int(ckpt_meta.get("best_epoch", -1)),
-                           0, {})
-    return SweepResult(best, best_hp, results)
+        return mlp_init(jax.random.PRNGKey(0), model_cfg,
+                        input_dim=train_x.shape[-1])
+
+    best, best_hp = book.resolve(template, "MLP grid search")
+    return SweepResult(best, best_hp, book.results)

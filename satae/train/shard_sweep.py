@@ -20,7 +20,6 @@ order.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -32,12 +31,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
                           ModelConfig)
 from satae.data.pipeline import ArrayDataset
-from satae.io.checkpoint import GridResultStore, save_model
+from satae.io.checkpoint import GridResultStore
 from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
 from satae.train import hbm
 from satae.train.fast_loop import _device_copy
 from satae.train.gridsearch import SweepResult
+from satae.train.sweep_common import SweepBook
 from satae.train.loop import LogFn, TrainResult
 from satae.train.optim import adam_init
 
@@ -167,25 +167,14 @@ def ae_sharded_grid_search(
             f"train split ({len(train_ds)}) is smaller than batch_size "
             f"({data_cfg.batch_size}); the sharded sweep trains on full "
             "batches only — reduce batch_size")
-    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
-        if out_dir else None
-
-    # resume protection (identical contract to the sequential engine): the
-    # existing global-best checkpoint competes with freshly trained configs
-    ckpt_val = float("inf")
-    ckpt_meta: Dict[str, float] = {}
-    if out_dir:
-        meta_file = Path(out_dir) / "ae_global_best.json"
-        if meta_file.exists():
-            ckpt_meta = json.loads(meta_file.read_text())
-            ckpt_val = float(ckpt_meta.get("best_val_loss", float("inf")))
-
-    results: Dict[str, Dict[str, float]] = {}
+    # resume/selection contract shared with the sequential engine
+    book = SweepBook(out_dir, ckpt_name="ae_global_best",
+                     store_name="validation_losses.json", mode="min",
+                     hp_keys=("alpha", "lr"))
     pending: List[Tuple[int, float, float]] = []  # (cfg_idx, alpha, lr)
     for ci, (alpha, lr) in enumerate(hparams):
         key = GridResultStore.key(alpha=alpha, lr=lr)
-        if store is not None and key in store:
-            results[key] = store.results[key]
+        if book.cached(key):
             if log:
                 log(f"skip cached alpha={alpha} lr={lr}")
         else:
@@ -222,11 +211,6 @@ def ae_sharded_grid_search(
         * data_cfg.batch_size
 
     hist_keys = ("loss", "mse", "ce", "acc")
-    best: Optional[TrainResult] = None
-    best_hp: Dict[str, float] = {}
-    fallback_key = float("inf")
-    fallback: Optional[TrainResult] = None
-    fallback_hp: Dict[str, float] = {}
 
     for chunk, mask in _chunk_pad(pending, n_dev):
         cfg_idx = np.array([c[0] for c in chunk])
@@ -293,11 +277,14 @@ def ae_sharded_grid_search(
 
             # true best-epoch snapshots (device slices of the epoch's state
             # copy), only for configs that could still become the global
-            # winner (ckpt_val guards resume parity)
+            # winner or the all-diverged fallback (the checkpoint metric
+            # guards resume parity)
             sp, sb = snap
+            thresh = min(book.ckpt_metric,
+                         book.fallback_key if book.best is None
+                         else book.best.best_val_loss)
             for i in np.flatnonzero(improved):
-                if val_loss[i] < min(ckpt_val, fallback_key if best is None
-                                     else best.best_val_loss):
+                if val_loss[i] < thresh:
                     round_best_snaps[i] = (_slice_tree(sp, i),
                                            _slice_tree(sb, i))
             if log:
@@ -331,14 +318,11 @@ def ae_sharded_grid_search(
             ci, alpha, lr = chunk[i]
             key = GridResultStore.key(alpha=alpha, lr=lr)
             n_hist = int(min(stopped_at[i], n_processed))
-            summary = {"alpha": alpha, "lr": lr,
-                       "best_val_loss": float(best_val[i]),
-                       "best_val_acc": float(best_acc[i]),
-                       "best_epoch": int(best_epoch[i]),
-                       "epochs_run": n_hist}
-            results[key] = summary
-            if store is not None:
-                store.record(key, summary)
+            book.record(key, {"alpha": alpha, "lr": lr,
+                              "best_val_loss": float(best_val[i]),
+                              "best_val_acc": float(best_acc[i]),
+                              "best_epoch": int(best_epoch[i]),
+                              "epochs_run": n_hist})
             if log:
                 log(f"alpha={alpha} lr={lr}: val_loss={best_val[i]:.4f} "
                     f"({n_hist} epochs)")
@@ -349,59 +333,40 @@ def ae_sharded_grid_search(
                     cand_hist,
                     Path(out_dir) / "curves" / f"ae_alpha{alpha:g}_lr{lr:g}.png",
                     title=f"AE alpha={alpha:g} lr={lr:g}")
-            if i in round_best_snaps and \
-                    (best is None or best_val[i] < best.best_val_loss) and \
-                    best_val[i] < ckpt_val:
-                p, b = round_best_snaps[i]
-                best = TrainResult(p, b, float(best_val[i]),
+
+            def mk_res(p, b):
+                return TrainResult(p, b, float(best_val[i]),
                                    float(best_acc[i]), int(best_epoch[i]),
                                    n_hist, cand_hist)
-                best_hp = {"alpha": alpha, "lr": lr}
-                if out_dir:
-                    save_model(Path(out_dir) / "ae_global_best.msgpack",
-                               p, b, meta={**best_hp,
-                                           "best_val_loss": best.best_val_loss,
-                                           "best_val_acc": best.best_val_acc,
-                                           "best_epoch": best.best_epoch})
-            cand = float(np.nan_to_num(best_val[i], nan=np.inf))
-            if fallback is None or cand < fallback_key:
-                fp, fb = round_best_snaps.get(
-                    i, (_slice_tree(vparams, i), _slice_tree(vbn, i)))
-                fallback = TrainResult(fp, fb, float(best_val[i]),
-                                       float(best_acc[i]),
-                                       int(best_epoch[i]), n_hist, cand_hist)
-                fallback_hp, fallback_key = {"alpha": alpha, "lr": lr}, cand
+            hp = {"alpha": alpha, "lr": lr}
+            if i in round_best_snaps:
+                # snapshot-backed candidate: full best + fallback offer
+                book.offer(mk_res(*round_best_snaps[i]), hp)
+            else:
+                # no best-epoch snapshot was retained (never crossed the
+                # winner threshold): only the end-of-run weights exist, and
+                # only the divergence fallback may want them — check the
+                # metric first so losing configs don't materialize slices
+                cand = float(np.nan_to_num(best_val[i], nan=np.inf))
+                if book.fallback is None or cand < book.fallback_key:
+                    book.offer_fallback(
+                        mk_res(_slice_tree(vparams, i), _slice_tree(vbn, i)),
+                        hp)
 
-    if best is None or ckpt_val < best.best_val_loss:
-        if not ckpt_meta:
-            if fallback is not None:
-                if out_dir:
-                    save_model(Path(out_dir) / "ae_global_best.msgpack",
-                               fallback.params, fallback.bn_state,
-                               meta={**fallback_hp,
-                                     "best_val_loss": fallback.best_val_loss,
-                                     "best_val_acc": fallback.best_val_acc,
-                                     "best_epoch": fallback.best_epoch,
-                                     "diverged": True})
-                fallback.params, fallback.bn_state = _to_host(
-                    (fallback.params, fallback.bn_state))
-                return SweepResult(fallback, fallback_hp, results)
-            raise RuntimeError("sharded AE grid search produced no result "
-                               "and no prior checkpoint exists")
-        from satae.io.checkpoint import load_model
-        tmpl_p, tmpl_s = supervised_ae_init(
+    def template():
+        return supervised_ae_init(
             jax.random.PRNGKey(0), model_cfg, in_ch=data_cfg.channels,
             image_size=data_cfg.image_size)
-        params, bn_state = load_model(
-            Path(out_dir) / "ae_global_best.msgpack", tmpl_p, tmpl_s)
-        best_hp = {"alpha": float(ckpt_meta["alpha"]),
-                   "lr": float(ckpt_meta["lr"])}
-        best = TrainResult(params, bn_state, ckpt_val,
-                           float(ckpt_meta.get("best_val_acc", 0.0)),
-                           int(ckpt_meta.get("best_epoch", -1)), 0, {})
-    else:
-        best.params, best.bn_state = _to_host((best.params, best.bn_state))
-    return SweepResult(best, best_hp, results)
+
+    def to_host(res):
+        # the winner's snapshot stayed in HBM through the sweep; bring it to
+        # the host exactly once here
+        res.params, res.bn_state = _to_host((res.params, res.bn_state))
+        return res
+
+    best, best_hp = book.resolve(template, "sharded AE grid search",
+                                 finalize=to_host)
+    return SweepResult(best, best_hp, book.results)
 
 
 def mlp_sharded_grid_search(
@@ -446,31 +411,20 @@ def mlp_sharded_grid_search(
                     for a in hbm.padded_eval_batches(val, batch_size)))
     n_counted = (len(train_y) // batch_size) * batch_size
 
-    store = GridResultStore(Path(out_dir) / "mlp_results.json") \
-        if out_dir else None
-    results: Dict[str, Dict[str, float]] = {}
+    book = SweepBook(out_dir, ckpt_name="mlp_global_best",
+                     store_name="mlp_results.json", mode="max",
+                     hp_keys=("lr",))
     pending: List[Tuple[int, float]] = []  # (cfg_idx, lr)
     for ci, lr in enumerate(lrs_py):
         key = GridResultStore.key(lr=lr)
-        if store is not None and key in store:
-            results[key] = store.results[key]
+        if book.cached(key):
             if log:
                 log(f"skip cached lr={lr}")
         else:
             pending.append((ci, lr))
 
-    ckpt_acc = -1.0
-    ckpt_meta: Dict[str, float] = {}
-    if out_dir:
-        meta_file = Path(out_dir) / "mlp_global_best.json"
-        if meta_file.exists():
-            ckpt_meta = json.loads(meta_file.read_text())
-            ckpt_acc = float(ckpt_meta.get("best_val_acc", -1.0))
-
     wd = jnp.full((n_dev,), mlp_cfg.weight_decay, jnp.float32)
     wd = _shard_cfg_axis(mesh, wd, cfg_axis)
-    best: Optional[TrainResult] = None
-    best_hp: Dict[str, float] = {}
 
     # per-lr test evaluation resources, hoisted out of the round loop (a
     # per-round jit of a fresh closure would recompile every round)
@@ -559,9 +513,7 @@ def mlp_sharded_grid_search(
                 sp, sb = snapshots[i]
                 tm = jax.device_get(jeval_single(sp, sb, *test_batches))
                 summary["test_acc"] = float(tm["acc"] / tm["n"])
-            results[key] = summary
-            if store is not None:
-                store.record(key, summary)
+            book.record(key, summary)
             if save_curves and out_dir:
                 from satae.eval import plots
                 plots.lr_curves(
@@ -570,37 +522,23 @@ def mlp_sharded_grid_search(
                     title=f"MLP lr={lr:g}")
             if log:
                 log(f"lr={lr}: val_acc={best_acc[i]:.4f}")
-            if i in snapshots and \
-                    (best is None or best_acc[i] > best.best_val_acc) and \
-                    best_acc[i] > ckpt_acc:
+            if i in snapshots:
                 sp, sb = snapshots[i]
-                hist_i = {k: history[k][i] for k in history}
-                best = TrainResult(sp, sb, float(best_loss[i]),
-                                   float(best_acc[i]), int(best_epoch[i]),
-                                   mlp_cfg.epochs, hist_i)
-                best_hp = {"lr": lr}
-                if out_dir:
-                    save_model(Path(out_dir) / "mlp_global_best.msgpack",
-                               sp, sb,
-                               meta={**best_hp,
-                                     "best_val_acc": best.best_val_acc,
-                                     "best_val_loss": best.best_val_loss,
-                                     "best_epoch": best.best_epoch})
+                book.offer(
+                    TrainResult(sp, sb, float(best_loss[i]),
+                                float(best_acc[i]), int(best_epoch[i]),
+                                mlp_cfg.epochs,
+                                {k: history[k][i] for k in history}),
+                    {"lr": lr})
 
-    if best is None or ckpt_acc > best.best_val_acc:
-        if not ckpt_meta:
-            raise RuntimeError("sharded MLP grid search produced no result "
-                               "and no prior checkpoint exists")
-        from satae.io.checkpoint import load_model
-        tmpl_p, tmpl_s = mlp_init(jax.random.PRNGKey(0), model_cfg,
-                                  input_dim=input_dim)
-        params, bn_state = load_model(
-            Path(out_dir) / "mlp_global_best.msgpack", tmpl_p, tmpl_s)
-        best_hp = {"lr": float(ckpt_meta["lr"])}
-        best = TrainResult(params, bn_state,
-                           float(ckpt_meta.get("best_val_loss", float("inf"))),
-                           ckpt_acc, int(ckpt_meta.get("best_epoch", -1)),
-                           0, {})
-    else:
-        best.params, best.bn_state = _to_host((best.params, best.bn_state))
-    return SweepResult(best, best_hp, results)
+    def template():
+        return mlp_init(jax.random.PRNGKey(0), model_cfg,
+                        input_dim=input_dim)
+
+    def to_host(res):
+        res.params, res.bn_state = _to_host((res.params, res.bn_state))
+        return res
+
+    best, best_hp = book.resolve(template, "sharded MLP grid search",
+                                 finalize=to_host)
+    return SweepResult(best, best_hp, book.results)

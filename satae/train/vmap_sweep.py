@@ -26,11 +26,12 @@ import numpy as np
 
 from satae.config import AETrainConfig, DataConfig, MLPTrainConfig, ModelConfig
 from satae.data.pipeline import ArrayDataset
-from satae.io.checkpoint import GridResultStore, save_model
+from satae.io.checkpoint import GridResultStore
 from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
 from satae.train import hbm
 from satae.train.gridsearch import SweepResult
+from satae.train.sweep_common import save_best_checkpoint
 from satae.train.loop import LogFn, TrainResult
 from satae.train.optim import adam_init
 
@@ -170,9 +171,6 @@ def ae_vmap_grid_search(
     params, bn_state = best_snapshot
     best_hp = {"alpha": hparams[global_best_idx][0],
                "lr": hparams[global_best_idx][1]}
-    if out_dir:
-        save_model(Path(out_dir) / "ae_global_best.msgpack", params, bn_state,
-                   meta={**best_hp, "best_val_loss": global_best})
     gi = global_best_idx
 
     def cfg_history(i: int) -> Dict[str, list]:
@@ -194,6 +192,10 @@ def ae_vmap_grid_search(
     best = TrainResult(params, bn_state, global_best,
                        float(best_acc[gi]), int(best_epoch[gi]), epoch + 1,
                        history)
+    if out_dir:
+        save_best_checkpoint(out_dir, "ae_global_best", params, bn_state,
+                             best_hp, best,
+                             diverged=not np.isfinite(global_best))
     return SweepResult(best, best_hp, results)
 
 
@@ -314,10 +316,10 @@ def mlp_vmap_grid_search(
                 title=f"MLP lr={lrs_py[i]:g}")
     params, bn_state = snapshots[gi]
     best_hp = {"lr": lrs_py[gi]}
-    if out_dir:
-        save_model(Path(out_dir) / "mlp_global_best.msgpack", params,
-                   bn_state, meta={**best_hp, "best_val_acc": float(best_acc[gi])})
     best = TrainResult(params, bn_state, float(best_loss[gi]),
                        float(best_acc[gi]), int(best_epoch[gi]),
                        mlp_cfg.epochs, cfg_history(gi))
+    if out_dir:
+        save_best_checkpoint(out_dir, "mlp_global_best", params, bn_state,
+                             best_hp, best)
     return SweepResult(best, best_hp, results)
