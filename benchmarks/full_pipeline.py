@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--aug-rng", default="threefry",
                     choices=("threefry", "rbg"),
                     help="augmentation PRNG implementation")
+    ap.add_argument("--cache-dir", default="benchmarks/.data_cache",
+                    help="decode/generation cache (~70 s saved per run at "
+                         "full synthetic-hard scale); '' disables")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +55,8 @@ def main() -> None:
     cfg = PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class,
                         synthetic_difficulty=args.synthetic_difficulty,
-                        aug_rng_impl=args.aug_rng),
+                        aug_rng_impl=args.aug_rng,
+                        cache_dir=args.cache_dir or None),
         runtime=RuntimeConfig(parallel_configs=args.vmap,
                               compute_dtype=args.dtype),
     )

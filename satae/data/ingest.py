@@ -124,10 +124,29 @@ def load_folder(root: str, image_size: int = 64,
 
 
 def load_dataset(cfg: DataConfig) -> RawDataset:
-    """Real EuroSAT folder when available, else the synthetic stand-in."""
+    """Real EuroSAT folder when available, else the synthetic stand-in.
+
+    The synthetic generator is deterministic but slow at full scale (~70 s
+    for the 20k-image hard tier on this 1-core host — float64 temporaries
+    dominate), so when ``cache_dir`` is set the generated arrays are cached
+    to .npz exactly like real decoded images; the key pins every generation
+    parameter so a config change regenerates."""
     if cfg.root and os.path.isdir(cfg.root):
         return load_folder(cfg.root, cfg.image_size, cfg.cache_dir)
+    cp = None
+    if cfg.cache_dir:
+        cp = Path(cfg.cache_dir) / (
+            f"synthetic_{cfg.synthetic_difficulty}_{cfg.per_class}"
+            f"_{cfg.image_size}_{cfg.subsample_seed}.npz")
+        if cp.exists():
+            blob = np.load(cp)
+            return RawDataset(blob["images"], blob["labels"],
+                              tuple(blob["classes"].tolist()))
     images, labels, classes = make_synthetic_eurosat(
         per_class=cfg.per_class, image_size=cfg.image_size,
         seed=cfg.subsample_seed, difficulty=cfg.synthetic_difficulty)
+    if cp is not None:
+        cp.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cp, images=images, labels=labels,
+                 classes=np.array(classes))
     return RawDataset(images, labels, classes)

@@ -61,3 +61,28 @@ def test_hard_tier_color_pairs_overlap():
         assert within_pair < max_ratio * across, \
             f"{diff}: within-pair color distance {within_pair:.1f} not " \
             f"small vs cross-group {across:.1f}"
+
+
+def test_synthetic_npz_cache_roundtrip(tmp_path):
+    """With cache_dir set, the generated stand-in is cached like real
+    decoded images (bitwise-identical reload); the key pins per_class,
+    image_size, seed and difficulty."""
+    import numpy as np
+
+    from satae.config import DataConfig
+    from satae.data.ingest import load_dataset
+
+    cfg = DataConfig(per_class=6, image_size=32, synthetic_difficulty="hard",
+                     cache_dir=str(tmp_path))
+    a = load_dataset(cfg)
+    files = list(tmp_path.glob("synthetic_*.npz"))
+    assert len(files) == 1
+    b = load_dataset(cfg)
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    assert a.classes == b.classes
+    # a different generation parameter gets its own cache entry
+    load_dataset(DataConfig(per_class=6, image_size=32,
+                            synthetic_difficulty="easy",
+                            cache_dir=str(tmp_path)))
+    assert len(list(tmp_path.glob("synthetic_*.npz"))) == 2
