@@ -15,12 +15,13 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from satae.utils.strict_json import dump_strict_json  # noqa: E402
 
 
 def main() -> None:
@@ -81,8 +82,9 @@ def main() -> None:
         **dataclasses.asdict(summary),
     }
     Path(args.out).mkdir(parents=True, exist_ok=True)
-    Path(args.out, "timing.json").write_text(json.dumps(result, indent=2))
-    print(json.dumps(result, indent=2))
+    Path(args.out, "timing.json").write_text(
+        dump_strict_json(result, indent=2))
+    print(dump_strict_json(result, indent=2))
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ import dataclasses
 import json
 from pathlib import Path
 
-from satae.io.checkpoint import dump_strict_json
+from satae.utils.strict_json import dump_strict_json
 
 
 def _config_from_args(args) -> "PipelineConfig":
@@ -79,7 +79,8 @@ def cmd_calibrate(args) -> None:
     splits = make_splits(raw, data_cfg)
     imgs, labels = next(iter_batches(splits.train, data_cfg.batch_size,
                                      shuffle=True, seed=args.seed))
-    ratios = loss_ratio_calibration(imgs, labels, n_inits=args.n_inits,
+    ratios = loss_ratio_calibration(imgs, labels, data_cfg=data_cfg,
+                                    n_inits=args.n_inits,
                                     seed=args.seed)
     summary = CalibrationSummary.from_ratios(ratios)
     print(dump_strict_json(dataclasses.asdict(summary), indent=2))

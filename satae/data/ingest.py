@@ -135,18 +135,28 @@ def load_dataset(cfg: DataConfig) -> RawDataset:
         return load_folder(cfg.root, cfg.image_size, cfg.cache_dir)
     cp = None
     if cfg.cache_dir:
+        # the key also hashes the GENERATOR SOURCE so editing synthetic.py
+        # invalidates the cache (a stale dataset would silently defeat any
+        # quality run measuring the generator change)
+        import satae.data.synthetic as _synth
+        src_hash = hashlib.sha256(
+            Path(_synth.__file__).read_bytes()).hexdigest()[:12]
         cp = Path(cfg.cache_dir) / (
             f"synthetic_{cfg.synthetic_difficulty}_{cfg.per_class}"
-            f"_{cfg.image_size}_{cfg.subsample_seed}.npz")
+            f"_{cfg.image_size}_{cfg.subsample_seed}_{src_hash}.npz")
         if cp.exists():
-            blob = np.load(cp)
-            return RawDataset(blob["images"], blob["labels"],
-                              tuple(blob["classes"].tolist()))
+            try:
+                blob = np.load(cp)
+                return RawDataset(blob["images"], blob["labels"],
+                                  tuple(blob["classes"].tolist()))
+            except Exception:
+                cp.unlink()  # corrupt (e.g. interrupted write): regenerate
     images, labels, classes = make_synthetic_eurosat(
         per_class=cfg.per_class, image_size=cfg.image_size,
         seed=cfg.subsample_seed, difficulty=cfg.synthetic_difficulty)
     if cp is not None:
         cp.parent.mkdir(parents=True, exist_ok=True)
-        np.savez(cp, images=images, labels=labels,
-                 classes=np.array(classes))
+        tmp = cp.with_suffix(".tmp.npz")
+        np.savez(tmp, images=images, labels=labels, classes=np.array(classes))
+        os.replace(tmp, cp)  # atomic: no half-written cache survives a crash
     return RawDataset(images, labels, classes)

@@ -27,38 +27,12 @@ from typing import Any, Dict, Optional
 import jax
 from flax import serialization
 
-_NONFINITE_STRS = ("inf", "-inf", "nan")
-
-
-def _json_sanitize(obj: Any) -> Any:
-    """Replace non-finite floats with their string forms ('inf'/'-inf'/'nan')
-    so emitted files are strict JSON (json.dumps would otherwise write the
-    non-standard Infinity/NaN literals, which jq/JS/most parsers reject).
-    Diverged grid configs legitimately produce inf/NaN val losses."""
-    if isinstance(obj, dict):
-        return {k: _json_sanitize(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_json_sanitize(v) for v in obj]
-    if isinstance(obj, float) and not math.isfinite(obj):
-        return str(obj)
-    return obj
-
-
-def _json_restore(obj: Any) -> Any:
-    """Inverse of :func:`_json_sanitize` ('inf' -> float('inf') etc.), so
-    values read back from disk are numeric again."""
-    if isinstance(obj, dict):
-        return {k: _json_restore(v) for k, v in obj.items()}
-    if isinstance(obj, list):
-        return [_json_restore(v) for v in obj]
-    if isinstance(obj, str) and obj in _NONFINITE_STRS:
-        return float(obj)
-    return obj
-
-
-def dump_strict_json(obj: Any, **kwargs) -> str:
-    """json.dumps that never emits non-standard Infinity/NaN literals."""
-    return json.dumps(_json_sanitize(obj), allow_nan=False, **kwargs)
+# strict-JSON helpers live in a jax-free module (satae.utils.strict_json) so
+# the CLI/logger can import them without the jax+flax load; re-exported here
+# under their historical names for existing imports
+from satae.utils.strict_json import (dump_strict_json,
+                                     json_restore as _json_restore,
+                                     json_sanitize as _json_sanitize)
 
 
 def save_pytree(path: str | Path, pytree: Any) -> None:

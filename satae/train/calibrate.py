@@ -45,10 +45,12 @@ def loss_ratio_calibration(
     image_size = imgs_u8.shape[1]
 
     aug_key = jax.random.PRNGKey(seed)
-    imgs = augment_train_batch(aug_key, jnp.asarray(imgs_u8),
-                               crop_padding=data_cfg.crop_padding,
-                               noise_std=data_cfg.noise_std,
-                               rng_impl=data_cfg.aug_rng_impl)
+    # jit'd: eager execution would compile one tiny program per random op
+    # through the remote-compile relay (~10 round-trips)
+    aug = jax.jit(lambda k, x: augment_train_batch(
+        k, x, crop_padding=data_cfg.crop_padding,
+        noise_std=data_cfg.noise_std, rng_impl=data_cfg.aug_rng_impl))
+    imgs = aug(aug_key, jnp.asarray(imgs_u8))
     labels_d = jnp.asarray(labels)
 
     def one_init(key):

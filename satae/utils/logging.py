@@ -14,7 +14,7 @@ import time
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-from satae.io.checkpoint import dump_strict_json
+from satae.utils.strict_json import dump_strict_json
 
 
 class MetricsLogger:

@@ -86,3 +86,22 @@ def test_synthetic_npz_cache_roundtrip(tmp_path):
                             synthetic_difficulty="easy",
                             cache_dir=str(tmp_path)))
     assert len(list(tmp_path.glob("synthetic_*.npz"))) == 2
+
+
+def test_synthetic_cache_corrupt_file_self_heals(tmp_path):
+    """A truncated cache (interrupted write) is deleted and regenerated
+    rather than crashing every subsequent run."""
+    import numpy as np
+
+    from satae.config import DataConfig
+    from satae.data.ingest import load_dataset
+
+    cfg = DataConfig(per_class=4, image_size=32, cache_dir=str(tmp_path))
+    a = load_dataset(cfg)
+    (cache_file,) = tmp_path.glob("synthetic_*.npz")
+    cache_file.write_bytes(b"not a zip")
+    b = load_dataset(cfg)  # must regenerate, not raise
+    np.testing.assert_array_equal(a.images, b.images)
+    # regenerated cache is valid again
+    c = load_dataset(cfg)
+    np.testing.assert_array_equal(a.images, c.images)
