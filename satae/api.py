@@ -230,17 +230,16 @@ class SatAEPipeline:
         summary = FitSummary(ae_res.best_val_loss, ae_hp,
                              mlp_res.best_val_acc, mlp_hp, test_acc,
                              stage_seconds=dict(stage_t))
-        if out_dir:
-            # meta must carry the selection metrics — ae_grid_search's resume
-            # protection reads best_val_loss from ae_global_best.json
-            save_model(Path(out_dir) / "ae_global_best.msgpack",
-                       self.ae_params, self.ae_bn_state,
-                       meta={**ae_hp, "best_val_loss": ae_res.best_val_loss,
-                             "best_epoch": ae_res.best_epoch})
-            save_model(Path(out_dir) / "mlp_global_best.msgpack",
-                       self.mlp_params, self.mlp_bn_state,
-                       meta={**mlp_hp, "best_val_acc": mlp_res.best_val_acc,
-                             "best_epoch": mlp_res.best_epoch})
+        if out_dir and not grid:
+            # grid sweeps already checkpointed their winners (SweepBook /
+            # save_best_checkpoint) with full selection meta incl. the
+            # 'diverged' marker — re-saving here would clobber it; only the
+            # single-config path needs the save (its trainer writes nothing)
+            from satae.train.sweep_common import save_best_checkpoint
+            save_best_checkpoint(out_dir, "ae_global_best", self.ae_params,
+                                 self.ae_bn_state, ae_hp, ae_res)
+            save_best_checkpoint(out_dir, "mlp_global_best", self.mlp_params,
+                                 self.mlp_bn_state, mlp_hp, mlp_res)
             from satae.io.checkpoint import dump_strict_json
             (Path(out_dir) / "fit_summary.json").write_text(
                 dump_strict_json(dataclasses.asdict(summary), indent=2))

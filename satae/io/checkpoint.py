@@ -19,7 +19,6 @@ host-portable, no pickle.
 from __future__ import annotations
 
 import json
-import math
 import os
 from pathlib import Path
 from typing import Any, Dict, Optional

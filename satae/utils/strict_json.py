@@ -10,6 +10,12 @@ unchanged).
 
 Lives outside satae.io.checkpoint so the CLI and the metrics logger can use
 it without paying the jax+flax import at module load.
+
+Caveat (accepted trade-off): the encoding is schema-free, so a STRING field
+whose legitimate value is exactly "inf"/"-inf"/"nan" would be coerced to a
+float on restore. No satae artifact stores such strings (metric fields are
+floats; status fields use words like "diverged"); a collision-free tagged
+encoding would break the ubiquitous ``float(meta[...])`` reader pattern.
 """
 
 from __future__ import annotations
