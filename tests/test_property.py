@@ -63,3 +63,48 @@ def test_metrics_match_sklearn_property(n, k, seed):
     np.testing.assert_allclose(m["recall"], r, atol=1e-12)
     np.testing.assert_allclose(m["f1"], f, atol=1e-12)
     np.testing.assert_array_equal(m["support"], s)
+
+
+# -- strict JSON round-trip --------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.integers(-10**9, 10**9),
+    st.text(max_size=8).filter(lambda s: s not in ("inf", "-inf", "nan")),
+    st.booleans(), st.none())
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=6), children, max_size=4)),
+    max_leaves=12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(obj=_json_values)
+def test_strict_json_roundtrip_property(obj):
+    """dump_strict_json never emits non-standard literals, and
+    json_restore(json.loads(.)) reproduces the value (NaN compared by
+    identity-of-kind; tuples normalize to lists like plain JSON)."""
+    import json
+    import math
+
+    import pytest
+
+    from satae.utils.strict_json import dump_strict_json, json_restore
+
+    text = dump_strict_json(obj)
+    parsed = json.loads(
+        text, parse_constant=lambda s: pytest.fail(f"non-strict literal {s}"))
+    restored = json_restore(parsed)
+
+    def norm(v):
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [norm(x) for x in v]
+        if isinstance(v, float) and math.isnan(v):
+            return "__nan__"  # NaN != NaN; compare by kind
+        return v
+
+    assert norm(restored) == norm(obj)
