@@ -35,6 +35,23 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
     assert z["X"].shape == (n_test, 64) and z["y"].shape == (n_test,)
 
 
+@pytest.mark.parametrize("aug_rng", ["threefry", "rbg"])
+def test_cli_calibrate(tmp_path, capsys, aug_rng):
+    """calibrate subcommand end-to-end, both PRNG streams (the --aug-rng
+    wiring to loss_ratio_calibration once regressed silently)."""
+    main(["calibrate", "--per-class", "8", "--n-inits", "3", "--seed", "0",
+          "--aug-rng", aug_rng, "--out", str(tmp_path / "cal"),
+          "--cache-dir", str(tmp_path / "cache")])
+    captured = capsys.readouterr().out
+    summary = json.loads(captured[captured.index("{"):])
+    # CE/MSE ratio at init is architecture-determined; the reference band is
+    # ~30 at 64x64 — any finite positive value proves the path end to end,
+    # the scale gate lives in test_aux.py::test_calibration_ratio_scale
+    assert summary["median"] > 0 and summary["p95"] >= summary["p5"]
+    assert (tmp_path / "cal" / "ratio_histogram.png").exists()
+    assert (tmp_path / "cal" / "calibration.json").exists()
+
+
 def test_cli_report_from_artifacts(tmp_path, capsys):
     results = {f"k{i}": {"alpha": 20.0 + 5 * i, "lr": 1e-3,
                          "best_val_loss": 0.5 + i} for i in range(3)}
