@@ -20,12 +20,5 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-import numpy as np  # noqa: E402
-import pytest  # noqa: E402
-
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for tests"
 
-
-@pytest.fixture
-def rng():
-    return np.random.default_rng(0)

@@ -48,8 +48,10 @@ def test_hard_tier_color_pairs_overlap():
     """Classes c and c+5 share most of their palette: their mean colors must
     be much closer to each other than the easy tier's are."""
     per_class = 64
-    for diff, max_ratio in (("hard", 0.45),):
-        imgs, labels, _ = make_synthetic_eurosat(
+    # hard tier: pairs nearly share a palette (small within-pair distance);
+    # easy tier: every class keeps a distinct color (no pair structure)
+    for diff, max_ratio in (("hard", 0.45), ("easy", None)):
+        imgs, _labels, _ = make_synthetic_eurosat(
             per_class=per_class, image_size=32, seed=0, difficulty=diff)
         clean = np.repeat(np.arange(10), per_class)  # pre-label-noise blocks
         means = np.stack([imgs[clean == c].mean(axis=(0, 1, 2))
@@ -58,9 +60,14 @@ def test_hard_tier_color_pairs_overlap():
                                for c in range(5)])
         across = np.mean([np.linalg.norm(means[c] - means[(c + 1) % 5])
                           for c in range(5)])
-        assert within_pair < max_ratio * across, \
-            f"{diff}: within-pair color distance {within_pair:.1f} not " \
-            f"small vs cross-group {across:.1f}"
+        if max_ratio is not None:
+            assert within_pair < max_ratio * across, \
+                f"{diff}: within-pair color distance {within_pair:.1f} not " \
+                f"small vs cross-group {across:.1f}"
+        else:
+            assert within_pair > 0.8 * across, \
+                f"{diff}: easy tier should have NO pair collapse " \
+                f"({within_pair:.1f} vs {across:.1f})"
 
 
 def test_synthetic_npz_cache_roundtrip(tmp_path):

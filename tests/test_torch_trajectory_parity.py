@@ -105,6 +105,9 @@ def test_torch_trajectory_parity():
         np.testing.assert_allclose(np.asarray(ours["mean"]),
                                    theirs.running_mean.detach().numpy(),
                                    atol=1.5e-2)
+        np.testing.assert_allclose(np.asarray(ours["var"]),
+                                   theirs.running_var.detach().numpy(),
+                                   atol=1.5e-2)
 
     # eval-mode predictions from the final state (uses the running stats):
     # same logits, same reconstruction

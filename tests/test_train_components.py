@@ -108,7 +108,6 @@ def test_augment_rbg_impl():
                                          noise_std=0.0, rng_impl="rbg")
     assert native.shape == out.shape
 
-    from satae.config import DataConfig
     with pytest.raises(ValueError):
         DataConfig(aug_rng_impl="philox")
     assert DataConfig(aug_rng_impl="rbg").aug_rng_impl == "rbg"
@@ -117,7 +116,6 @@ def test_augment_rbg_impl():
 def test_scan_engine_trains_with_rbg_augmentation():
     """The HBM scan-epoch trainer runs under aug_rng_impl='rbg' and reduces
     the loss (stream change only; semantics identical)."""
-    from satae.config import DataConfig, ModelConfig
     from satae.data.pipeline import ArrayDataset
     from satae.train.fast_loop import train_supervised_ae_scan
 
@@ -134,7 +132,7 @@ def test_scan_engine_trains_with_rbg_augmentation():
         ds, ds, model_cfg=model_cfg, data_cfg=data_cfg, alpha=20.0, lr=1e-3,
         max_epochs=3, patience=5, seed=0)
     assert np.isfinite(res.best_val_loss)
-    assert res.history["train_loss"][-1] < res.history["train_loss"][0] * 1.5
+    assert res.history["train_loss"][-1] < res.history["train_loss"][0]
 
 
 def test_flip_crop_select_matches_numpy():
