@@ -61,9 +61,16 @@ def test_fit_with_grid(raw, tmp_path):
     assert summary.ae_hparams == {"alpha": 35.0, "lr": 2e-3}
     assert (tmp_path / "validation_losses.json").exists()
     assert (tmp_path / "mlp_results.json").exists()
-    # resumability: rerunning the sweep hits the cache and is a no-op
     store = GridResultStore(tmp_path / "validation_losses.json")
     assert GridResultStore.key(alpha=35.0, lr=2e-3) in store
+
+    # API-level resume: rerunning fit on the populated out_dir must skip
+    # every cached config, reload the recorded winner from its checkpoint,
+    # and select the same hparams with the same metrics
+    summary2 = SatAEPipeline(cfg).fit(raw, grid=True, out_dir=str(tmp_path))
+    assert summary2.ae_hparams == summary.ae_hparams
+    assert summary2.mlp_hparams == summary.mlp_hparams
+    assert summary2.ae_val_loss == pytest.approx(summary.ae_val_loss)
 
 
 def test_pytree_roundtrip(tmp_path):
