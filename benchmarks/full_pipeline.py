@@ -86,6 +86,16 @@ def main() -> None:
         dump_strict_json(result, indent=2))
     print(dump_strict_json(result, indent=2))
 
+    # grid heatmap (reference C17) from the sweep's result store, like the
+    # CLI fit path renders
+    import json
+
+    from satae.eval import plots
+    results_file = Path(args.out) / "validation_losses.json"
+    if results_file.exists():
+        plots.gridsearch_heatmap(json.loads(results_file.read_text()),
+                                 Path(args.out) / "gridsearch_heatmap.png")
+
 
 if __name__ == "__main__":
     main()
