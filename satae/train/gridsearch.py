@@ -98,6 +98,10 @@ def ae_grid_search(
                     patience=ae_cfg.patience, seed=seed + cfg_idx,
                     compute_dtype=compute_dtype,
                     train_step=train_step, eval_step=eval_step)
+            # offer (checkpoint save) strictly BEFORE the store flush: a crash
+            # between the two then costs a redundant retrain on resume, never
+            # a cached-but-uncheckpointed winner excluded from selection
+            book.offer(res, {"alpha": alpha, "lr": lr})
             book.record(key, {"alpha": alpha, "lr": lr,
                               "best_val_loss": res.best_val_loss,
                               "best_val_acc": res.best_val_acc,
@@ -112,7 +116,6 @@ def ae_grid_search(
             if log:
                 log(f"alpha={alpha} lr={lr}: val_loss={res.best_val_loss:.4f} "
                     f"({res.epochs_run} epochs)")
-            book.offer(res, {"alpha": alpha, "lr": lr})
 
     def template():
         import jax
@@ -189,6 +192,7 @@ def mlp_grid_search(
                                            np.asarray(test_y, np.int32)),
                               batch_size)
             summary["test_acc"] = test_m["acc"]
+        book.offer(res, {"lr": lr})  # checkpoint before the store flush
         book.record(key, summary)
         if save_curves and out_dir and res.history:
             from satae.eval import plots
@@ -197,7 +201,6 @@ def mlp_grid_search(
                             title=f"MLP lr={lr:g}")
         if log:
             log(f"lr={lr}: val_acc={res.best_val_acc:.4f}")
-        book.offer(res, {"lr": lr})
 
     def template():
         import jax

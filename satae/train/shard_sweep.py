@@ -318,27 +318,16 @@ def ae_sharded_grid_search(
             ci, alpha, lr = chunk[i]
             key = GridResultStore.key(alpha=alpha, lr=lr)
             n_hist = int(min(stopped_at[i], n_processed))
-            book.record(key, {"alpha": alpha, "lr": lr,
-                              "best_val_loss": float(best_val[i]),
-                              "best_val_acc": float(best_acc[i]),
-                              "best_epoch": int(best_epoch[i]),
-                              "epochs_run": n_hist})
-            if log:
-                log(f"alpha={alpha} lr={lr}: val_loss={best_val[i]:.4f} "
-                    f"({n_hist} epochs)")
             cand_hist = {k: history[k][i][:n_hist] for k in history}
-            if save_curves and out_dir:
-                from satae.eval import plots
-                plots.loss_curves(
-                    cand_hist,
-                    Path(out_dir) / "curves" / f"ae_alpha{alpha:g}_lr{lr:g}.png",
-                    title=f"AE alpha={alpha:g} lr={lr:g}")
 
             def mk_res(p, b):
                 return TrainResult(p, b, float(best_val[i]),
                                    float(best_acc[i]), int(best_epoch[i]),
                                    n_hist, cand_hist)
             hp = {"alpha": alpha, "lr": lr}
+            # offer (checkpoint save) strictly BEFORE the store flush: a
+            # crash between the two then costs a redundant retrain on
+            # resume, never a cached-but-uncheckpointed winner
             if i in round_best_snaps:
                 # snapshot-backed candidate: full best + fallback offer
                 book.offer(mk_res(*round_best_snaps[i]), hp)
@@ -352,6 +341,20 @@ def ae_sharded_grid_search(
                     book.offer_fallback(
                         mk_res(_slice_tree(vparams, i), _slice_tree(vbn, i)),
                         hp)
+            book.record(key, {"alpha": alpha, "lr": lr,
+                              "best_val_loss": float(best_val[i]),
+                              "best_val_acc": float(best_acc[i]),
+                              "best_epoch": int(best_epoch[i]),
+                              "epochs_run": n_hist})
+            if log:
+                log(f"alpha={alpha} lr={lr}: val_loss={best_val[i]:.4f} "
+                    f"({n_hist} epochs)")
+            if save_curves and out_dir:
+                from satae.eval import plots
+                plots.loss_curves(
+                    cand_hist,
+                    Path(out_dir) / "curves" / f"ae_alpha{alpha:g}_lr{lr:g}.png",
+                    title=f"AE alpha={alpha:g} lr={lr:g}")
 
     def template():
         return supervised_ae_init(
@@ -513,6 +516,14 @@ def mlp_sharded_grid_search(
                 sp, sb = snapshots[i]
                 tm = jax.device_get(jeval_single(sp, sb, *test_batches))
                 summary["test_acc"] = float(tm["acc"] / tm["n"])
+            if i in snapshots:  # checkpoint strictly before the store flush
+                sp, sb = snapshots[i]
+                book.offer(
+                    TrainResult(sp, sb, float(best_loss[i]),
+                                float(best_acc[i]), int(best_epoch[i]),
+                                mlp_cfg.epochs,
+                                {k: history[k][i] for k in history}),
+                    {"lr": lr})
             book.record(key, summary)
             if save_curves and out_dir:
                 from satae.eval import plots
@@ -522,14 +533,6 @@ def mlp_sharded_grid_search(
                     title=f"MLP lr={lr:g}")
             if log:
                 log(f"lr={lr}: val_acc={best_acc[i]:.4f}")
-            if i in snapshots:
-                sp, sb = snapshots[i]
-                book.offer(
-                    TrainResult(sp, sb, float(best_loss[i]),
-                                float(best_acc[i]), int(best_epoch[i]),
-                                mlp_cfg.epochs,
-                                {k: history[k][i] for k in history}),
-                    {"lr": lr})
 
     def template():
         return mlp_init(jax.random.PRNGKey(0), model_cfg,

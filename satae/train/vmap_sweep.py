@@ -146,20 +146,6 @@ def ae_vmap_grid_search(
         if not active.any():
             break
 
-    results: Dict[str, Dict[str, float]] = {}
-    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
-        if out_dir else None
-    for i in range(n_cfg):
-        key = GridResultStore.key(alpha=hparams[i][0], lr=hparams[i][1])
-        summary = {"alpha": hparams[i][0], "lr": hparams[i][1],
-                   "best_val_loss": float(best_val[i]),
-                   "best_val_acc": float(best_acc[i]),
-                   "best_epoch": int(best_epoch[i]),
-                   "epochs_run": int(min(stopped_at[i], epoch + 1))}
-        results[key] = summary
-        if store is not None:
-            store.record(key, summary)
-
     if best_snapshot is None:
         # no config ever improved on +inf (e.g. NaN losses from epoch 0):
         # return end-of-run weights of the least-bad config instead of
@@ -196,6 +182,24 @@ def ae_vmap_grid_search(
         save_best_checkpoint(out_dir, "ae_global_best", params, bn_state,
                              best_hp, best,
                              diverged=not np.isfinite(global_best))
+
+    # per-config records flush AFTER the winner checkpoint: a crash between
+    # the two must never leave store-cached configs whose winner weights
+    # were not persisted (a sequential resume would then silently select a
+    # worse model)
+    results: Dict[str, Dict[str, float]] = {}
+    store = GridResultStore(Path(out_dir) / "validation_losses.json") \
+        if out_dir else None
+    for i in range(n_cfg):
+        key = GridResultStore.key(alpha=hparams[i][0], lr=hparams[i][1])
+        summary = {"alpha": hparams[i][0], "lr": hparams[i][1],
+                   "best_val_loss": float(best_val[i]),
+                   "best_val_acc": float(best_acc[i]),
+                   "best_epoch": int(best_epoch[i]),
+                   "epochs_run": int(min(stopped_at[i], epoch + 1))}
+        results[key] = summary
+        if store is not None:
+            store.record(key, summary)
     return SweepResult(best, best_hp, results)
 
 
@@ -279,6 +283,22 @@ def mlp_vmap_grid_search(
                 f"(lr={lrs[int(np.argmax(best_acc))]})")
 
     gi = int(np.argmax(best_acc))
+
+    def cfg_history(i: int) -> Dict[str, list]:
+        return {k: [float(v[i]) for v in metric_hist[k]]
+                for k in metric_hist}
+
+    # winner checkpoint FIRST, per-config store flushes after (crash between
+    # the two must not leave cached configs without persisted winner weights)
+    params, bn_state = snapshots[gi]
+    best_hp = {"lr": lrs_py[gi]}
+    best = TrainResult(params, bn_state, float(best_loss[gi]),
+                       float(best_acc[gi]), int(best_epoch[gi]),
+                       mlp_cfg.epochs, cfg_history(gi))
+    if out_dir:
+        save_best_checkpoint(out_dir, "mlp_global_best", params, bn_state,
+                             best_hp, best)
+
     results: Dict[str, Dict[str, float]] = {}
     store = GridResultStore(Path(out_dir) / "mlp_results.json") \
         if out_dir else None
@@ -303,10 +323,6 @@ def mlp_vmap_grid_search(
         if store is not None:
             store.record(key, summary)
 
-    def cfg_history(i: int) -> Dict[str, list]:
-        return {k: [float(v[i]) for v in metric_hist[k]]
-                for k in metric_hist}
-
     if save_curves and out_dir:
         from satae.eval import plots
         for i in range(n_cfg):
@@ -314,12 +330,4 @@ def mlp_vmap_grid_search(
                 cfg_history(i),
                 Path(out_dir) / "curves" / f"mlp_lr{lrs_py[i]:g}.png",
                 title=f"MLP lr={lrs_py[i]:g}")
-    params, bn_state = snapshots[gi]
-    best_hp = {"lr": lrs_py[gi]}
-    best = TrainResult(params, bn_state, float(best_loss[gi]),
-                       float(best_acc[gi]), int(best_epoch[gi]),
-                       mlp_cfg.epochs, cfg_history(gi))
-    if out_dir:
-        save_best_checkpoint(out_dir, "mlp_global_best", params, bn_state,
-                             best_hp, best)
     return SweepResult(best, best_hp, results)
