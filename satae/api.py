@@ -230,16 +230,21 @@ class SatAEPipeline:
         summary = FitSummary(ae_res.best_val_loss, ae_hp,
                              mlp_res.best_val_acc, mlp_hp, test_acc,
                              stage_seconds=dict(stage_t))
-        if out_dir and not grid:
-            # grid sweeps already checkpointed their winners (SweepBook /
-            # save_best_checkpoint) with full selection meta incl. the
-            # 'diverged' marker — re-saving here would clobber it; only the
-            # single-config path needs the save (its trainer writes nothing)
-            from satae.train.sweep_common import save_best_checkpoint
-            save_best_checkpoint(out_dir, "ae_global_best", self.ae_params,
-                                 self.ae_bn_state, ae_hp, ae_res)
-            save_best_checkpoint(out_dir, "mlp_global_best", self.mlp_params,
-                                 self.mlp_bn_state, mlp_hp, mlp_res)
+        if out_dir:
+            if not grid:
+                # grid sweeps already checkpointed their winners (SweepBook /
+                # save_best_checkpoint) with full selection meta incl. the
+                # 'diverged' marker — re-saving here would clobber it; only
+                # the single-config path needs the save (its trainer writes
+                # nothing). Everything below (summary/classes/curves) is
+                # written for grid fits too: load() and evaluate() need
+                # classes.json regardless of the engine that trained.
+                from satae.train.sweep_common import save_best_checkpoint
+                save_best_checkpoint(out_dir, "ae_global_best", self.ae_params,
+                                     self.ae_bn_state, ae_hp, ae_res)
+                save_best_checkpoint(out_dir, "mlp_global_best",
+                                     self.mlp_params, self.mlp_bn_state,
+                                     mlp_hp, mlp_res)
             from satae.io.checkpoint import dump_strict_json
             (Path(out_dir) / "fit_summary.json").write_text(
                 dump_strict_json(dataclasses.asdict(summary), indent=2))

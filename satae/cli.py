@@ -15,7 +15,7 @@ import dataclasses
 import json
 from pathlib import Path
 
-from satae.utils.strict_json import dump_strict_json
+from satae.utils.strict_json import dump_strict_json, json_restore
 
 
 def _config_from_args(args) -> "PipelineConfig":
@@ -59,8 +59,11 @@ def cmd_fit(args) -> None:
 
     results_file = Path(args.out) / "validation_losses.json"
     if results_file.exists():
-        plots.gridsearch_heatmap(json.loads(results_file.read_text()),
-                                 Path(args.out) / "gridsearch_heatmap.png")
+        # json_restore: diverged configs store "inf"/"nan" strings (strict
+        # JSON) — restore them to floats before any consumer arithmetic
+        plots.gridsearch_heatmap(json_restore(json.loads(
+            results_file.read_text())),
+            Path(args.out) / "gridsearch_heatmap.png")
 
 
 def cmd_calibrate(args) -> None:
@@ -142,8 +145,9 @@ def cmd_report(args) -> None:
     out = Path(args.out)
     results_file = out / "validation_losses.json"
     if results_file.exists():
-        p = plots.gridsearch_heatmap(json.loads(results_file.read_text()),
-                                     out / "gridsearch_heatmap.png")
+        p = plots.gridsearch_heatmap(json_restore(json.loads(
+            results_file.read_text())),
+            out / "gridsearch_heatmap.png")
         print(f"wrote {p}")
 
 
