@@ -163,16 +163,32 @@ class SatAEPipeline:
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
         _stage("ae")
 
-        # Frozen-encoder latent extraction (Report.md:2590-2609).
+        # Frozen-encoder latent extraction (Report.md:2590-2609). With a
+        # mesh configured, the encoder forward is batch-sharded over all
+        # devices (chunks padded to a device multiple); latents are
+        # numerics-identical to the single-device path
+        # (tests/test_parallel.py::test_dp_extract_features_matches).
         enc_p = self.ae_params["encoder"]
         enc_s = self.ae_bn_state["encoder"]
-        encode_step = make_encode_step(cfg.model, dtype)
+        if cfg.runtime.n_devices:
+            from satae.parallel import make_mesh
+            from satae.parallel.dp import make_dp_encode_step
+            ex_mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+            encode_step = make_dp_encode_step(ex_mesh, cfg.model, dtype,
+                                              axis=cfg.runtime.mesh_axis)
+            pad_multiple = cfg.runtime.n_devices
+        else:
+            encode_step = make_encode_step(cfg.model, dtype)
+            pad_multiple = 1
         Xtr, ytr = extract_features(enc_p, enc_s, splits.train, cfg.model,
-                                    cfg.data.batch_size, encode_step)
+                                    cfg.data.batch_size, encode_step,
+                                    pad_multiple=pad_multiple)
         Xva, yva = extract_features(enc_p, enc_s, splits.val, cfg.model,
-                                    cfg.data.batch_size, encode_step)
+                                    cfg.data.batch_size, encode_step,
+                                    pad_multiple=pad_multiple)
         Xte, yte = extract_features(enc_p, enc_s, splits.test, cfg.model,
-                                    cfg.data.batch_size, encode_step)
+                                    cfg.data.batch_size, encode_step,
+                                    pad_multiple=pad_multiple)
         _stage("extract")
 
         if grid:

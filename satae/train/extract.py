@@ -34,7 +34,8 @@ def make_encode_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
 
 def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
                      model_cfg: ModelConfig, batch_size: int = 64,
-                     encode_step=None, compute_dtype=jnp.float32
+                     encode_step=None, compute_dtype=jnp.float32,
+                     pad_multiple: int = 1
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (X (N, latent_dim) float32, y (N,) int32) on host.
 
@@ -46,7 +47,9 @@ def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
     extraction cost — measured 87 s for ~2 s of device work. ``batch_size``
     is kept for API parity with the reference's loader-driven
     extract_features (Report.md:2497-2510) and acts as a floor for the
-    chunk size.
+    chunk size. ``pad_multiple`` rounds the chunk up so it divides evenly
+    over a device mesh (pass the mesh's data-axis size when ``encode_step``
+    is the sharded :func:`satae.parallel.dp.make_dp_encode_step`).
     """
     encode_step = encode_step or make_encode_step(model_cfg, compute_dtype)
     n = len(ds)
@@ -54,6 +57,7 @@ def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
     # dataset past the next batch multiple
     chunk = min(max(batch_size, 2048),
                 -(-n // batch_size) * batch_size)
+    chunk = -(-chunk // pad_multiple) * pad_multiple
     pad = (-n) % chunk
     imgs = ds.images
     if pad:

@@ -49,9 +49,12 @@ class SweepBook:
     """Resume/selection bookkeeping shared by the sequential and sharded
     sweep engines.
 
-    mode="min" selects by ``best_val_loss`` (AE sweeps, with an all-diverged
-    fallback); mode="max" selects by ``best_val_acc`` (MLP sweeps, no
-    fallback — matching the engines' historical behavior).
+    mode="min" selects by ``best_val_loss`` (AE sweeps); mode="max" selects
+    by ``best_val_acc`` (MLP sweeps). Both modes degrade gracefully when
+    EVERY config's selection metric is non-finite: the least-bad end-of-run
+    model is returned and checkpointed with a ``diverged`` marker (in
+    practice val acc is a finite mean of booleans, so the max-mode fallback
+    only triggers on NaN accuracies from fully-NaN logits).
     """
 
     def __init__(self, out_dir: Optional[str], *, ckpt_name: str,
@@ -124,12 +127,14 @@ class SweepBook:
         return is_best
 
     def offer_fallback(self, res: TrainResult, hp: Dict[str, float]) -> None:
-        """Track the least-bad config for the all-diverged case (min mode
-        only) — used directly by engines whose best-epoch snapshot for this
-        config was not retained (only end-of-run weights exist)."""
-        if self.mode != "min":
-            return
-        cand = float(np.nan_to_num(res.best_val_loss, nan=np.inf))
+        """Track the least-bad config for the all-diverged case (every
+        config's selection metric inf/NaN) — used directly by engines whose
+        best-epoch snapshot for this config was not retained (only
+        end-of-run weights exist). Symmetric across modes: min ranks by
+        val loss, max by negated val acc; NaN metrics rank worst."""
+        metric = res.best_val_loss if self.mode == "min" else \
+            -res.best_val_acc
+        cand = float(np.nan_to_num(metric, nan=np.inf))
         if self.fallback is None or cand < self.fallback_key:
             self.fallback, self.fallback_hp, self.fallback_key = \
                 res, hp, cand

