@@ -138,28 +138,33 @@ class SatAEPipeline:
                     out_dir=out_dir, compute_dtype=dtype, log=log,
                     save_curves=cfg.runtime.save_grid_curves)
             ae_res, ae_hp = sweep.best, sweep.best_hparams
-        elif cfg.runtime.n_devices:
-            # data-parallel scan epochs: dataset sharded over the mesh, one
-            # dispatch per epoch (the per-batch loop.py engine stays as the
-            # step-debuggable alternative)
-            from satae.parallel import make_mesh
+        else:
+            # single-config training (mesh-sharded scan epochs when
+            # n_devices is set; the per-batch loop.py engine stays as the
+            # step-debuggable alternative). checkpoint_every>0 + out_dir
+            # flushes in-flight train state for mid-training crash resume.
             from satae.train.fast_loop import train_supervised_ae_scan
-            mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+            mesh = None
+            if cfg.runtime.n_devices:
+                from satae.parallel import make_mesh
+                mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+            ckpt_kw: Dict[str, Any] = {}
+            inflight = None
+            if out_dir and cfg.ae.checkpoint_every:
+                inflight = Path(out_dir) / "inflight" / "ae_single.msgpack"
+                ckpt_kw = dict(checkpoint_path=str(inflight),
+                               checkpoint_every=cfg.ae.checkpoint_every)
             ae_res = train_supervised_ae_scan(
                 splits.train, splits.val, model_cfg=cfg.model,
                 data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
                 max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
                 seed=cfg.runtime.seed, compute_dtype=dtype, log=log,
-                mesh=mesh)
+                mesh=mesh, **ckpt_kw)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
-        else:
-            from satae.train.fast_loop import train_supervised_ae_scan
-            ae_res = train_supervised_ae_scan(
-                splits.train, splits.val, model_cfg=cfg.model,
-                data_cfg=cfg.data, alpha=BEST_ALPHA, lr=BEST_AE_LR,
-                max_epochs=cfg.ae.max_epochs, patience=cfg.ae.patience,
-                seed=cfg.runtime.seed, log=log, compute_dtype=dtype)
-            ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
+            if inflight is not None:  # training is done; drop resume state
+                for f in (inflight, inflight.with_suffix(".state.json"),
+                          inflight.with_suffix(".best.msgpack")):
+                    f.unlink(missing_ok=True)
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
         _stage("ae")
 

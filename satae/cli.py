@@ -22,8 +22,11 @@ def _config_from_args(args) -> "PipelineConfig":
     from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
                               PipelineConfig, RuntimeConfig)
 
-    ae = AETrainConfig() if args.ae_epochs is None else \
-        AETrainConfig(max_epochs=args.ae_epochs)
+    ae = AETrainConfig()
+    if args.ae_epochs is not None:
+        ae = dataclasses.replace(ae, max_epochs=args.ae_epochs)
+    if getattr(args, "ckpt_every", 0):
+        ae = dataclasses.replace(ae, checkpoint_every=args.ckpt_every)
     mlp = MLPTrainConfig() if args.mlp_epochs is None else \
         MLPTrainConfig(epochs=args.mlp_epochs)
     return PipelineConfig(
@@ -183,6 +186,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "divisible by this)")
         p.add_argument("--ae-epochs", type=int, default=None,
                        help="override AE max_epochs (default 80)")
+        p.add_argument("--ckpt-every", type=int, default=0,
+                       help="flush in-flight AE train state every N epochs "
+                            "under OUT/inflight/ (mid-training crash resume; "
+                            "0 = off; checkpointed epochs run synchronously)")
         p.add_argument("--mlp-epochs", type=int, default=None,
                        help="override MLP epochs (default 30)")
         p.add_argument("--debug-nans", action="store_true",

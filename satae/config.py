@@ -106,6 +106,12 @@ class AETrainConfig:
     )  # Report.md:600
     max_epochs: int = 80  # Report.md:626
     patience: int = 15  # Report.md:627
+    # mid-training crash recovery: flush the in-flight train state (params,
+    # BN stats, optimizer moments, early-stop bookkeeping) every N epochs so
+    # a SIGKILL mid-config retrains at most N epochs on resume. 0 = off
+    # (default: checkpointed epochs run synchronously, forgoing the
+    # pipelined readback — see fast_loop.train_supervised_ae_scan).
+    checkpoint_every: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,6 +62,13 @@ def ae_grid_search(
     s/epoch at reference scale on a v5e). engine="steps": the per-batch host
     loop (loop.py), useful for debugging and exact reference-style batch
     accounting (keeps the epoch-remainder batch).
+
+    With ``ae_cfg.checkpoint_every > 0`` (and ``out_dir``, scan engine), each
+    config additionally flushes its in-flight train state every N epochs
+    under ``out_dir/inflight/``, so a SIGKILL mid-config retrains at most N
+    epochs of that config on resume (instead of the whole config). The
+    in-flight files are removed once the config's result is recorded; the
+    other sweep engines (vmap/sharded) keep config-granular resume.
     """
     if engine == "scan":
         from satae.train import fast_loop
@@ -76,12 +83,29 @@ def ae_grid_search(
                      store_name="validation_losses.json", mode="min",
                      hp_keys=("alpha", "lr"))
 
+    def inflight_path(alpha: float, lr: float) -> Optional[Path]:
+        if out_dir and ae_cfg.checkpoint_every and engine == "scan":
+            return (Path(out_dir) / "inflight" /
+                    f"ae_a{alpha:g}_lr{lr:g}.msgpack")
+        return None
+
+    def clear_inflight(path: Optional[Path]) -> None:
+        if path is None:
+            return
+        for f in (path, path.with_suffix(".state.json"),
+                  path.with_suffix(".best.msgpack")):
+            f.unlink(missing_ok=True)
+
     cfg_idx = -1
     for alpha in ae_cfg.alphas:
         for lr in ae_cfg.learning_rates:
             cfg_idx += 1
             key = GridResultStore.key(alpha=alpha, lr=lr)
+            ckpt_path = inflight_path(alpha, lr)
             if book.cached(key):
+                # also clears in-flight files orphaned by a crash in the
+                # window after the store flush but before cleanup
+                clear_inflight(ckpt_path)
                 if log:
                     log(f"skip cached alpha={alpha} lr={lr}")
                 continue
@@ -90,7 +114,13 @@ def ae_grid_search(
                     train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
                     alpha=alpha, lr=lr, max_epochs=ae_cfg.max_epochs,
                     patience=ae_cfg.patience, seed=seed + cfg_idx,
-                    engine=scan_engine, device_data=device_data)
+                    engine=scan_engine, device_data=device_data,
+                    checkpoint_path=str(ckpt_path) if ckpt_path else None,
+                    checkpoint_every=ae_cfg.checkpoint_every,
+                    # per-epoch logs only for crash-resumable (synchronous)
+                    # configs — they narrate the resume point; the default
+                    # pipelined sweep keeps its one-line-per-config logging
+                    log=log if ckpt_path else None)
             else:
                 res = train_supervised_ae(
                     train_ds, val_ds, model_cfg=model_cfg, data_cfg=data_cfg,
@@ -107,6 +137,7 @@ def ae_grid_search(
                               "best_val_acc": res.best_val_acc,
                               "best_epoch": res.best_epoch,
                               "epochs_run": res.epochs_run})
+            clear_inflight(ckpt_path)  # config is durably recorded
             if save_curves and out_dir and res.history:
                 from satae.eval import plots
                 plots.loss_curves(

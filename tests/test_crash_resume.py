@@ -90,3 +90,94 @@ def test_sigkill_mid_sweep_then_resume(tmp_path):
     assert float(meta["best_val_loss"]) == pytest.approx(best_in_store)
     assert (out / "ae_global_best.msgpack").exists()
     assert (out / "mlp_global_best.msgpack").exists()
+
+
+_CHILD_MIDCFG = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from satae.config import AETrainConfig, DataConfig, ModelConfig
+from satae.data.ingest import RawDataset
+from satae.data.pipeline import make_splits
+from satae.data.synthetic import make_synthetic_eurosat
+from satae.train.gridsearch import ae_grid_search
+
+data_cfg = DataConfig(per_class=24, image_size=32, batch_size=32)
+imgs, labels, classes = make_synthetic_eurosat(per_class=24, image_size=32,
+                                               seed=0)
+splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
+ae_cfg = AETrainConfig(alphas=(35.0,), learning_rates=(2e-3,),
+                       max_epochs=40, patience=100, checkpoint_every=2)
+sweep = ae_grid_search(
+    splits.train, splits.val,
+    model_cfg=ModelConfig(latent_dim=8, encoder_channels=(4, 4, 8, 8)),
+    data_cfg=data_cfg, ae_cfg=ae_cfg, seed=0, out_dir=sys.argv[1],
+    log=lambda s: print(s, flush=True))
+print("SWEEP_DONE", repr(sweep.best.best_val_loss), flush=True)
+"""
+
+
+def _run_midcfg(out, env, **popen_kw):
+    return subprocess.Popen(
+        [sys.executable, "-c", _CHILD_MIDCFG, str(out)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=str(Path(__file__).resolve().parent.parent), **popen_kw)
+
+
+def test_sigkill_mid_config_resumes_within_k_epochs(tmp_path):
+    """VERDICT r2 #4: with AETrainConfig.checkpoint_every=k, a SIGKILL in the
+    MIDDLE of a config's training resumes from the in-flight state — at most
+    ~k epochs retrained, and the completed sweep's result equals an
+    uninterrupted run's bit-for-bit (resume restores params+opt+history
+    exactly; the epoch order/keys are functions of (seed, epoch))."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    # reference: uninterrupted run
+    ref = _run_midcfg(tmp_path / "ref", env)
+    ref_out, _ = ref.communicate(timeout=420)
+    assert ref.returncode == 0, ref_out
+    ref_loss = float(ref_out.split("SWEEP_DONE")[1].strip())
+
+    # run 1: kill once the in-flight state records epoch >= 5
+    out = tmp_path / "run"
+    state_file = out / "inflight" / "ae_a35_lr0.002.state.json"
+    proc = _run_midcfg(out, env)
+    deadline = time.time() + 420
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break
+        try:
+            epoch = json.loads(state_file.read_text()).get("epoch", -1)
+        except (FileNotFoundError, json.JSONDecodeError):
+            epoch = -1
+        if epoch >= 5:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            killed = True
+            break
+        time.sleep(0.05)
+    assert killed or proc.returncode == 0, "child neither progressed nor died"
+
+    # run 2: resumes mid-config and completes
+    proc2 = _run_midcfg(out, env)
+    out2, _ = proc2.communicate(timeout=420)
+    assert proc2.returncode == 0, out2
+    assert "SWEEP_DONE" in out2
+    if killed:
+        # resumed at the flushed epoch + 1 => at most (kill_epoch - flushed)
+        # <= k epochs retrained before the kill point
+        resumed = [ln for ln in out2.splitlines() if "resumed from" in ln]
+        assert resumed, out2
+        start_epoch = int(resumed[0].rsplit("epoch", 1)[1])
+        assert start_epoch >= 6
+        # per-epoch log lines = epochs actually retrained
+        retrained = sum(1 for ln in out2.splitlines()
+                        if ln.startswith("epoch "))
+        assert retrained <= 40 - start_epoch + 1
+    loss2 = float(out2.split("SWEEP_DONE")[1].strip())
+    assert loss2 == pytest.approx(ref_loss, rel=1e-6)
+    # in-flight state is cleaned up once the config is durably recorded
+    if (out / "inflight").exists():
+        assert not list((out / "inflight").glob("*"))
