@@ -1,5 +1,5 @@
 // satae native data loader: multithreaded JPEG decode into a contiguous
-// uint8 tensor, plus a threaded batch-gather used by the host input runtime.
+// uint8 tensor.
 //
 // This is the TPU-native replacement for the reference's implicit native
 // ingest layer (torchvision ImageFolder -> PIL/libjpeg single-threaded
@@ -10,7 +10,11 @@
 //
 // Exposed C ABI (ctypes bindings in satae/io/native_loader.py):
 //   satae_decode_jpeg_batch(paths, n, H, W, out, n_threads) -> n_failed
-//   satae_gather_batch(src, n, row_bytes, idx, batch, out)  -> void
+//
+// (A threaded batch-gather primitive once lived here for a host batching
+// runtime; the HBM-resident epoch design obsoleted it and a measured probe
+// showed it losing to np.take at batch granularity on this host — removed,
+// see docs/PERF.md.)
 //
 // Build: g++ -O3 -march=native -shared -fPIC loader.cc -o libsatae_loader.so
 //        -ljpeg -lpthread
@@ -130,27 +134,6 @@ int satae_decode_jpeg_batch(const char* paths, int n, int out_h, int out_w,
   for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
   return failed.load();
-}
-
-// Gather rows src[idx[i]] -> out[i] for i in [0, batch). Row-parallel memcpy
-// used by the host batching runtime for large uint8 datasets.
-void satae_gather_batch(const uint8_t* src, int64_t /*n*/, int64_t row_bytes,
-                        const int64_t* idx, int64_t batch, uint8_t* out) {
-  const int hw = std::thread::hardware_concurrency();
-  const int n_threads = hw > 1 && batch >= 256 ? (hw < 8 ? hw : 8) : 1;
-  std::atomic<int64_t> next(0);
-  auto worker = [&]() {
-    for (int64_t i = next.fetch_add(1); i < batch; i = next.fetch_add(1)) {
-      memcpy(out + i * row_bytes, src + idx[i] * row_bytes, row_bytes);
-    }
-  };
-  if (n_threads == 1) {
-    worker();
-    return;
-  }
-  std::vector<std::thread> threads;
-  for (int t = 0; t < n_threads; ++t) threads.emplace_back(worker);
-  for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

@@ -53,11 +53,6 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.satae_decode_jpeg_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
-        lib.satae_gather_batch.restype = None
-        lib.satae_gather_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         return _lib
 
@@ -86,22 +81,9 @@ def decode_batch(paths: Sequence[str], image_size: int = 64,
     return out
 
 
-def gather_batch(src: np.ndarray, idx: np.ndarray,
-                 out: Optional[np.ndarray] = None) -> np.ndarray:
-    """out[i] = src[idx[i]] with multithreaded row memcpy. src must be
-    C-contiguous with uint8 rows (any trailing shape)."""
-    lib = _load()
-    row_shape = src.shape[1:]
-    row_bytes = int(np.prod(row_shape))
-    idx = np.ascontiguousarray(idx, np.int64)
-    if out is None:
-        out = np.empty((len(idx),) + row_shape, np.uint8)
-    if lib is None:  # pure-numpy fallback
-        np.take(src, idx, axis=0, out=out)
-        return out
-    assert src.flags.c_contiguous and out.flags.c_contiguous
-    lib.satae_gather_batch(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), src.shape[0],
-        row_bytes, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(idx), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-    return out
+# NOTE: a native gather_batch (threaded row memcpy for host batching) was
+# removed after the HBM-resident epoch design left it consumer-less and a
+# measured probe showed it LOSING to np.take at batch-64 granularity on this
+# host (39 vs 26 ms per epoch of gathers; wash at full-epoch granularity) —
+# ctypes call overhead dominates at small batches and 1 CPU core leaves
+# nothing for threads to win. See docs/PERF.md.

@@ -1,5 +1,5 @@
-"""Native C++ loader: build, decode parity with PIL, gather parity, and the
-ingest integration (decode-once cache)."""
+"""Native C++ loader: build, decode parity with PIL, and the ingest
+integration (decode-once cache)."""
 
 import numpy as np
 import pytest
@@ -53,14 +53,6 @@ def test_native_decode_failure_raises(tmp_path):
     bad.write_bytes(b"hello world")
     with pytest.raises(RuntimeError):
         NL.decode_batch([str(bad)], 64)
-
-
-def test_gather_batch_matches_numpy():
-    rng = np.random.default_rng(0)
-    src = rng.integers(0, 255, (500, 64, 64, 3), dtype=np.uint8)
-    idx = rng.integers(0, 500, 300)
-    out = NL.gather_batch(src, idx)
-    np.testing.assert_array_equal(out, src[idx])
 
 
 def test_ingest_uses_native_and_caches(jpeg_tree, tmp_path):
