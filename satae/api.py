@@ -304,6 +304,18 @@ class SatAEPipeline:
         from satae.kernels import pallas_enabled
         return self.config.runtime.use_pallas or pallas_enabled()
 
+    def _infer_trees(self, *trees):
+        """Pre-cast inference pytrees to the compute dtype ONCE on first use
+        (vs per-call astype inside the jit): measured +2% on bf16
+        encode+classify at batch 4096, numerics identical (the same cast,
+        hoisted out of the program) — benchmarks/bf16_infer_probe.py."""
+        dt = self.config.compute_dtype
+        if dt == jnp.float32:
+            return trees
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dt), t)
+        return tuple(cast(t) for t in trees)
+
     def encode(self, images: np.ndarray) -> np.ndarray:
         """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim)."""
         self._require_fitted()
@@ -319,9 +331,10 @@ class SatAEPipeline:
             else:
                 self._encode_step = make_encode_step(self.config.model,
                                                      self.config.compute_dtype)
+            self._enc_infer_args = self._infer_trees(
+                self.ae_params["encoder"], self.ae_bn_state["encoder"])
         imgs = self._to_uint8(images)
-        z = self._encode_step(self.ae_params["encoder"],
-                              self.ae_bn_state["encoder"], imgs)
+        z = self._encode_step(*self._enc_infer_args, imgs)
         return np.asarray(z, np.float32)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -338,16 +351,26 @@ class SatAEPipeline:
                         mlp_infer_pallas(p, s, x, cfg), axis=-1))
             else:
                 self._predict_step = S.make_mlp_predict(self.config.model)
-        return np.asarray(self._predict_step(self.mlp_params,
-                                             self.mlp_bn_state, z))
+            self._mlp_infer_args = self._infer_trees(self.mlp_params,
+                                                     self.mlp_bn_state)
+        return np.asarray(self._predict_step(*self._mlp_infer_args, z))
 
     def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
-        """Confusion matrix + per-class metrics over a split (reference C23)."""
-        preds = []
+        """Confusion matrix + per-class metrics over a split (reference C23).
+
+        The split is zero-padded to a chunk multiple so every predict() call
+        has the SAME shape — one compiled program regardless of split size
+        (the repo's two-shapes-max discipline, satae/train/steps.py)."""
         bs = self.config.data.batch_size
-        for lo in range(0, len(ds), bs * 8):
-            preds.append(self.predict(ds.images[lo:lo + bs * 8]))
-        preds = np.concatenate(preds)
+        chunk = min(bs * 8, max(len(ds), 1))
+        n = len(ds)
+        pad = (-n) % chunk
+        imgs = ds.images
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        preds = np.concatenate([self.predict(imgs[lo:lo + chunk])
+                                for lo in range(0, n + pad, chunk)])[:n]
         cm = M.confusion_matrix(ds.labels, preds, self.config.model.num_classes)
         out = M.per_class_metrics(cm)
         out["confusion_matrix"] = cm
