@@ -61,6 +61,11 @@ def test_fit_with_grid(raw, tmp_path):
     assert summary.ae_hparams == {"alpha": 35.0, "lr": 2e-3}
     assert (tmp_path / "validation_losses.json").exists()
     assert (tmp_path / "mlp_results.json").exists()
+    # grid fits must ALSO write the shared artifacts (ADVICE r2: the
+    # winner-resave guard once swallowed these, breaking evaluate-after-fit
+    # class names)
+    assert (tmp_path / "fit_summary.json").exists()
+    assert (tmp_path / "classes.json").exists()
     store = GridResultStore(tmp_path / "validation_losses.json")
     assert GridResultStore.key(alpha=35.0, lr=2e-3) in store
 
