@@ -95,7 +95,9 @@ def main() -> None:
         pipe = SatAEPipeline(cfg)
         summary = pipe.fit(raw, grid=True, out_dir=str(out), log=log)
 
-    results = json.loads((out / "validation_losses.json").read_text())
+    from satae.utils.strict_json import json_restore
+    results = json_restore(
+        json.loads((out / "validation_losses.json").read_text()))
     plots.gridsearch_heatmap(results, out / "gridsearch_heatmap.png")
 
     with sw.stage("evaluate"):

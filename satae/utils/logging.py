@@ -14,7 +14,7 @@ import time
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-from satae.utils.strict_json import dump_strict_json
+from satae.utils.strict_json import dump_strict_json, json_restore
 
 
 class MetricsLogger:
@@ -51,5 +51,7 @@ class MetricsLogger:
 
 
 def read_jsonl(path: str | Path):
-    return [json.loads(line) for line in Path(path).read_text().splitlines()
-            if line.strip()]
+    """Inverse of MetricsLogger's strict-JSON writes: restores 'inf'/'nan'
+    metric strings (diverged configs) back to floats."""
+    return [json_restore(json.loads(line))
+            for line in Path(path).read_text().splitlines() if line.strip()]
