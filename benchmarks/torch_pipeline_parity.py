@@ -268,7 +268,7 @@ def main() -> None:
 
     from satae.api import SatAEPipeline
     from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
-                              PipelineConfig)
+                              PipelineConfig, RuntimeConfig)
     from satae.data.ingest import load_dataset
     from satae.data.pipeline import make_splits
 
@@ -280,6 +280,10 @@ def main() -> None:
         ae=AETrainConfig(alphas=AE_ALPHAS, learning_rates=AE_LRS,
                          max_epochs=args.ae_epochs, patience=args.ae_epochs),
         mlp=MLPTrainConfig(learning_rates=MLP_LRS, epochs=MLP_EPOCHS),
+        # --seed reseeds BOTH frameworks' training streams (the data split
+        # stays fixed: make_synthetic_eurosat/make_splits use data-config
+        # seeds, so every seed trains on the identical arrays)
+        runtime=RuntimeConfig(seed=args.seed),
     )
     raw = load_dataset(data_cfg)
     splits = make_splits(raw, data_cfg)  # the ONE split both sides consume

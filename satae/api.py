@@ -98,6 +98,8 @@ class SatAEPipeline:
         splits = make_splits(raw, cfg.data)
         self.classes = splits.classes
         dtype = cfg.compute_dtype
+        inflight = None  # single-config crash-resume state, cleared only
+        # once the winner checkpoint is durably written (end of fit)
         _stage("data")
 
         if grid:
@@ -149,7 +151,6 @@ class SatAEPipeline:
                 from satae.parallel import make_mesh
                 mesh = make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
             ckpt_kw: Dict[str, Any] = {}
-            inflight = None
             if out_dir and cfg.ae.checkpoint_every:
                 inflight = Path(out_dir) / "inflight" / "ae_single.msgpack"
                 ckpt_kw = dict(checkpoint_path=str(inflight),
@@ -161,10 +162,6 @@ class SatAEPipeline:
                 seed=cfg.runtime.seed, compute_dtype=dtype, log=log,
                 mesh=mesh, **ckpt_kw)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
-            if inflight is not None:  # training is done; drop resume state
-                for f in (inflight, inflight.with_suffix(".state.json"),
-                          inflight.with_suffix(".best.msgpack")):
-                    f.unlink(missing_ok=True)
         self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
         _stage("ae")
 
@@ -266,6 +263,13 @@ class SatAEPipeline:
                 save_best_checkpoint(out_dir, "mlp_global_best",
                                      self.mlp_params, self.mlp_bn_state,
                                      mlp_hp, mlp_res)
+                if inflight is not None:
+                    # the AE winner is durably checkpointed NOW — only here
+                    # is it safe to drop the in-flight resume state (doing
+                    # it right after training reopened the crash window for
+                    # a kill during extract/mlp, losing the whole AE run)
+                    from satae.io.checkpoint import clear_train_state
+                    clear_train_state(inflight)
             from satae.io.checkpoint import dump_strict_json
             (Path(out_dir) / "fit_summary.json").write_text(
                 dump_strict_json(dataclasses.asdict(summary), indent=2))
@@ -305,10 +309,16 @@ class SatAEPipeline:
         return self.config.runtime.use_pallas or pallas_enabled()
 
     def _infer_trees(self, *trees):
-        """Pre-cast inference pytrees to the compute dtype ONCE on first use
-        (vs per-call astype inside the jit): measured +2% on bf16
+        """Pre-cast ENCODER inference pytrees to the compute dtype ONCE on
+        first use (vs per-call astype inside the jit): measured +2% on bf16
         encode+classify at batch 4096, numerics identical (the same cast,
-        hoisted out of the program) — benchmarks/bf16_infer_probe.py."""
+        hoisted out of the program) — benchmarks/bf16_infer_probe.py.
+
+        Applied to the encoder path only: its activations run at the compute
+        dtype, so the hoist is a no-op numerically. The MLP predict path
+        consumes float32 latents (encode returns f32 to the host), so its
+        layers cast params UP to f32 — pre-casting those trees down to bf16
+        would truncate weights for zero speedup."""
         dt = self.config.compute_dtype
         if dt == jnp.float32:
             return trees
@@ -351,9 +361,10 @@ class SatAEPipeline:
                         mlp_infer_pallas(p, s, x, cfg), axis=-1))
             else:
                 self._predict_step = S.make_mlp_predict(self.config.model)
-            self._mlp_infer_args = self._infer_trees(self.mlp_params,
-                                                     self.mlp_bn_state)
-        return np.asarray(self._predict_step(*self._mlp_infer_args, z))
+        # f32 master MLP params: z is float32 on host, so the layers run f32
+        # regardless of compute_dtype (see _infer_trees docstring)
+        return np.asarray(self._predict_step(self.mlp_params,
+                                             self.mlp_bn_state, z))
 
     def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
         """Confusion matrix + per-class metrics over a split (reference C23).

@@ -73,6 +73,18 @@ def save_train_state(path: str | Path, *, params: Any, bn_state: Any,
     Path(path).with_suffix(".state.json").write_text(dump_strict_json(meta))
 
 
+def clear_train_state(path: str | Path) -> None:
+    """Remove a :func:`save_train_state` pair plus the trainer's best-epoch
+    snapshot (``<path>``, ``.state.json``, ``.best.msgpack``). Call only
+    once the training outcome is DURABLY recorded elsewhere (result store /
+    global-best checkpoint) — removing earlier reopens the crash window the
+    in-flight state exists to close."""
+    path = Path(path)
+    for f in (path, path.with_suffix(".state.json"),
+              path.with_suffix(".best.msgpack")):
+        f.unlink(missing_ok=True)
+
+
 def load_train_state(path: str | Path, *, params_like: Any,
                      bn_state_like: Any, opt_state_like: Any):
     """Returns (params, bn_state, opt_state, meta)."""

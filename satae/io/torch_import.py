@@ -79,6 +79,11 @@ def sae_from_torch_state_dict(sd: Mapping[str, Any], cfg: ModelConfig,
     n = len(cfg.encoder_channels)
     spatial = image_size // (2 ** n)
     c_last = cfg.encoder_channels[-1]
+    got_in = int(_np(sd["enc.encoder.0.weight"]).shape[1])
+    if got_in != in_ch:
+        raise ValueError(
+            f"state_dict expects {got_in} input channels, caller declared "
+            f"{in_ch} — wrong checkpoint for this data config")
 
     enc_p: Params = {}
     enc_s: Params = {}

@@ -90,11 +90,9 @@ def ae_grid_search(
         return None
 
     def clear_inflight(path: Optional[Path]) -> None:
-        if path is None:
-            return
-        for f in (path, path.with_suffix(".state.json"),
-                  path.with_suffix(".best.msgpack")):
-            f.unlink(missing_ok=True)
+        if path is not None:
+            from satae.io.checkpoint import clear_train_state
+            clear_train_state(path)
 
     cfg_idx = -1
     for alpha in ae_cfg.alphas:
