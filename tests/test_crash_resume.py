@@ -181,3 +181,52 @@ def test_sigkill_mid_config_resumes_within_k_epochs(tmp_path):
     # in-flight state is cleaned up once the config is durably recorded
     if (out / "inflight").exists():
         assert not list((out / "inflight").glob("*"))
+
+
+def test_single_config_inflight_survives_post_ae_crash(tmp_path, monkeypatch):
+    """The single-config fit must keep the in-flight AE resume state until
+    the winner checkpoint is durably written at fit end — a crash during the
+    extract/mlp stages must NOT lose the trained AE (review finding r3: an
+    early cleanup reopened exactly that window)."""
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                              ModelConfig, PipelineConfig)
+    from satae.data.ingest import RawDataset
+    from satae.data.synthetic import make_synthetic_eurosat
+
+    cfg = PipelineConfig(
+        data=DataConfig(per_class=24, image_size=32, batch_size=32),
+        model=ModelConfig(latent_dim=8, encoder_channels=(4, 4, 8, 8),
+                          mlp_hidden=(16, 8)),
+        ae=AETrainConfig(max_epochs=4, patience=15, checkpoint_every=2),
+        mlp=MLPTrainConfig(learning_rates=(1e-3,), epochs=1),
+    )
+    imgs, labels, classes = make_synthetic_eurosat(per_class=24,
+                                                   image_size=32, seed=0)
+    raw = RawDataset(imgs, labels, classes)
+    out = tmp_path / "run"
+    inflight = out / "inflight" / "ae_single.msgpack"
+
+    # crash after the AE stage: extraction raises
+    import satae.api as api_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("injected extract crash")
+
+    monkeypatch.setattr(api_mod, "extract_features", boom)
+    with pytest.raises(RuntimeError, match="injected extract crash"):
+        SatAEPipeline(cfg).fit(raw, grid=False, out_dir=str(out))
+    # the trained AE's resume state must still be on disk
+    assert inflight.exists() and \
+        inflight.with_suffix(".state.json").exists()
+
+    # rerun without the injection: resumes the AE (no full retrain) and
+    # completes; only then is the in-flight state dropped
+    monkeypatch.undo()
+    logs = []
+    summary = SatAEPipeline(cfg).fit(raw, grid=False, out_dir=str(out),
+                                     log=logs.append)
+    assert any("resumed from" in str(m) for m in logs)
+    assert 0.0 <= summary.test_acc <= 1.0
+    assert not inflight.exists()
+    assert (out / "ae_global_best.msgpack").exists()
