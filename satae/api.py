@@ -428,6 +428,37 @@ class SatAEPipeline:
         self._predict_step = None
         return self
 
+    def export_torch(self, dest_dir: str) -> None:
+        """Write the fitted models as reference-format ``.pt`` state_dicts —
+        ``AE_GLOBAL_BEST.pt`` + ``MLP_GLOBAL_BEST.pt``, the exact files the
+        reference notebook saves (Report.md:714-716, 2725) — strict-loadable
+        by its torch model classes. See satae/io/torch_export.py for the
+        layout conversions."""
+        self._require_fitted()
+        from satae.io.torch_export import save_torch_mlp, save_torch_sae
+        dest = Path(dest_dir)
+        dest.mkdir(parents=True, exist_ok=True)
+        cfg = self.config
+        save_torch_sae(str(dest / "AE_GLOBAL_BEST.pt"), self.ae_params,
+                       self.ae_bn_state, cfg.model,
+                       image_size=cfg.data.image_size)
+        save_torch_mlp(str(dest / "MLP_GLOBAL_BEST.pt"), self.mlp_params,
+                       self.mlp_bn_state, cfg.model)
+
+    def load_torch(self, ae_pt: str, mlp_pt: str) -> "SatAEPipeline":
+        """Load reference-notebook ``.pt`` checkpoints (Report.md:714-716,
+        2725) directly into the pipeline, ready for encode/predict/evaluate.
+        The inverse of :meth:`export_torch`."""
+        from satae.io.torch_import import load_torch_mlp, load_torch_sae
+        cfg = self.config
+        self.ae_params, self.ae_bn_state = load_torch_sae(
+            ae_pt, cfg.model, in_ch=cfg.data.channels,
+            image_size=cfg.data.image_size)
+        self.mlp_params, self.mlp_bn_state = load_torch_mlp(mlp_pt, cfg.model)
+        self._encode_step = None
+        self._predict_step = None
+        return self
+
     def _require_fitted(self) -> None:
         if self.ae_params is None:
             raise RuntimeError("pipeline is not fitted — call fit() or load()")

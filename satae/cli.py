@@ -142,6 +142,19 @@ def cmd_extract(args) -> None:
         print(f"wrote {out / f'latents_{split}.npz'}  X={X.shape}")
 
 
+def cmd_export_torch(args) -> None:
+    """Export the fitted checkpoints as the reference notebook's .pt files
+    (AE_GLOBAL_BEST.pt / MLP_GLOBAL_BEST.pt, Report.md:714-716, 2725)."""
+    from satae.api import SatAEPipeline
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg).load(args.out)
+    dest = args.dest or args.out
+    pipe.export_torch(dest)
+    print(f"wrote {Path(dest) / 'AE_GLOBAL_BEST.pt'}")
+    print(f"wrote {Path(dest) / 'MLP_GLOBAL_BEST.pt'}")
+
+
 def cmd_report(args) -> None:
     from satae.eval import plots
 
@@ -224,6 +237,15 @@ def build_parser() -> argparse.ArgumentParser:
                            help="dump frozen-encoder latents per split")
     common(p_ext)
     p_ext.set_defaults(fn=cmd_extract)
+
+    p_exp = sub.add_parser("export-torch",
+                           help="export checkpoints as reference-format .pt "
+                                "state_dicts (strict-loadable by the "
+                                "notebook's torch classes)")
+    common(p_exp)
+    p_exp.add_argument("--dest", default=None,
+                       help="destination dir (default: OUT)")
+    p_exp.set_defaults(fn=cmd_export_torch)
 
     p_rep = sub.add_parser("report", help="regenerate figures from artifacts")
     common(p_rep)
