@@ -366,22 +366,26 @@ class SatAEPipeline:
         return np.asarray(self._predict_step(self.mlp_params,
                                              self.mlp_bn_state, z))
 
-    def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
-        """Confusion matrix + per-class metrics over a split (reference C23).
-
-        The split is zero-padded to a chunk multiple so every predict() call
-        has the SAME shape — one compiled program regardless of split size
-        (the repo's two-shapes-max discipline, satae/train/steps.py)."""
+    def predict_batched(self, images: np.ndarray) -> np.ndarray:
+        """predict() over an arbitrarily sized image array, zero-padded to a
+        chunk multiple so every device call has the SAME shape — one
+        compiled program regardless of input size (the repo's
+        two-shapes-max discipline, satae/train/steps.py)."""
         bs = self.config.data.batch_size
-        chunk = min(bs * 8, max(len(ds), 1))
-        n = len(ds)
+        imgs = np.asarray(images)
+        n = len(imgs)
+        chunk = min(bs * 8, max(n, 1))
         pad = (-n) % chunk
-        imgs = ds.images
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        preds = np.concatenate([self.predict(imgs[lo:lo + chunk])
-                                for lo in range(0, n + pad, chunk)])[:n]
+        return np.concatenate([self.predict(imgs[lo:lo + chunk])
+                               for lo in range(0, n + pad, chunk)])[:n]
+
+    def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
+        """Confusion matrix + per-class metrics over a split (reference C23).
+        """
+        preds = self.predict_batched(ds.images)
         cm = M.confusion_matrix(ds.labels, preds, self.config.model.num_classes)
         out = M.per_class_metrics(cm)
         out["confusion_matrix"] = cm

@@ -142,6 +142,34 @@ def cmd_extract(args) -> None:
         print(f"wrote {out / f'latents_{split}.npz'}  X={X.shape}")
 
 
+def cmd_predict(args) -> None:
+    """Batch serving: classify every image under --images (flat dir, class
+    tree, or a single file) with the checkpoints in --out; writes a CSV of
+    path,class_id,class_name. The inference counterpart of `evaluate` for
+    unlabeled data."""
+    import csv
+
+    from satae.api import SatAEPipeline
+    from satae.data.ingest import decode_images, scan_images
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg).load(args.out)
+    paths = scan_images(args.images)
+    if not paths:
+        raise FileNotFoundError(f"no images under {args.images}")
+    images = decode_images(paths, cfg.data.image_size)
+    preds = pipe.predict_batched(images)
+    classes = pipe.classes or tuple(
+        str(i) for i in range(cfg.model.num_classes))
+    dest = Path(args.csv) if args.csv else Path(args.out) / "predictions.csv"
+    with open(dest, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(("path", "class_id", "class_name"))
+        for p, c in zip(paths, preds):
+            w.writerow((str(p), int(c), classes[int(c)]))
+    print(f"wrote {dest} ({len(paths)} predictions)")
+
+
 def cmd_export_torch(args) -> None:
     """Export the fitted checkpoints as the reference notebook's .pt files
     (AE_GLOBAL_BEST.pt / MLP_GLOBAL_BEST.pt, Report.md:714-716, 2725)."""
@@ -237,6 +265,16 @@ def build_parser() -> argparse.ArgumentParser:
                            help="dump frozen-encoder latents per split")
     common(p_ext)
     p_ext.set_defaults(fn=cmd_extract)
+
+    p_pred = sub.add_parser("predict",
+                            help="classify a directory (or file) of images "
+                                 "to CSV using saved checkpoints")
+    common(p_pred)
+    p_pred.add_argument("--images", required=True,
+                        help="image file, flat dir, or class tree")
+    p_pred.add_argument("--csv", default=None,
+                        help="destination CSV (default: OUT/predictions.csv)")
+    p_pred.set_defaults(fn=cmd_predict)
 
     p_exp = sub.add_parser("export-torch",
                            help="export checkpoints as reference-format .pt "

@@ -61,6 +61,22 @@ def scan_folder(root: str) -> Tuple[Sequence[Path], np.ndarray, Tuple[str, ...]]
     return paths, np.asarray(labels, np.int32), classes
 
 
+def scan_images(root: str) -> Sequence[Path]:
+    """All image files under ``root`` (flat dir, class tree, or one file) in
+    sorted order — the unlabeled-serving counterpart of scan_folder."""
+    rootp = Path(root)
+    if rootp.is_file():
+        return [rootp]
+    return sorted(p for p in rootp.rglob("*")
+                  if p.suffix.lower() in _IMG_EXTS)
+
+
+def decode_images(paths: Sequence[Path], image_size: int = 64) -> np.ndarray:
+    """Decode arbitrary image paths to a uint8 (N, S, S, 3) array (native
+    libjpeg batch decode when eligible, PIL otherwise)."""
+    return _decode(list(paths), image_size)
+
+
 def _decode_pil(paths: Sequence[Path], image_size: int) -> np.ndarray:
     from PIL import Image
 

@@ -35,6 +35,53 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
     assert z["X"].shape == (n_test, 64) and z["y"].shape == (n_test,)
 
 
+def test_cli_predict_images_to_csv(tmp_path):
+    """Serving surface: `satae predict --images DIR` classifies a directory
+    of image files against saved checkpoints and writes path,id,name CSV."""
+    import csv
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from satae.api import SatAEPipeline
+    from satae.config import EUROSAT_CLASSES
+    from satae.models.mlp import mlp_init
+    from satae.models.supervised_ae import supervised_ae_init
+
+    pipe = SatAEPipeline()
+    cfg = pipe.config
+    pipe.ae_params, pipe.ae_bn_state = supervised_ae_init(
+        jax.random.PRNGKey(0), cfg.model, image_size=cfg.data.image_size)
+    pipe.mlp_params, pipe.mlp_bn_state = mlp_init(jax.random.PRNGKey(1),
+                                                  cfg.model)
+    pipe.classes = EUROSAT_CLASSES
+    out = tmp_path / "run"
+    out.mkdir()
+    pipe.save(str(out))
+
+    imgdir = tmp_path / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                        ).save(imgdir / f"img{i}.png")
+
+    main(["predict", "--out", str(out), "--images", str(imgdir)])
+    with open(out / "predictions.csv", newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["path", "class_id", "class_name"]
+    assert len(rows) == 6
+    for path, cid, cname in rows[1:]:
+        assert path.endswith(".png")
+        assert EUROSAT_CLASSES[int(cid)] == cname
+
+    # direct predictions on the same decoded images must match the CSV
+    direct = pipe.predict_batched(np.stack(
+        [np.asarray(Image.open(imgdir / f"img{i}.png")) for i in range(5)]))
+    assert [int(r[1]) for r in rows[1:]] == [int(c) for c in direct]
+
+
 @pytest.mark.parametrize("aug_rng", ["threefry", "rbg"])
 def test_cli_calibrate(tmp_path, capsys, aug_rng):
     """calibrate subcommand end-to-end, both PRNG streams (the --aug-rng
