@@ -96,6 +96,31 @@ def test_mlp_export_strict_load_forward_matches_and_roundtrips():
             np.asarray(a, np.float32), b), orig, back)
 
 
+def test_export_import_roundtrip_variant_depths():
+    """Converter generality: non-default depths (3 conv blocks, 3 MLP hidden
+    layers) round-trip bit-identically — the index maps aren't hardcoded to
+    the reference's 4/2."""
+    cfg = ModelConfig(latent_dim=12, encoder_channels=(4, 8, 8),
+                      head_hidden=16, mlp_hidden=(16, 8, 4))
+    params, state = supervised_ae_init(jax.random.PRNGKey(9), cfg,
+                                       image_size=32)
+    sd = sae_to_torch_state_dict(params, state, cfg, image_size=32)
+    p2, s2 = sae_from_torch_state_dict(sd, cfg, image_size=32)
+    for orig, back in ((params, p2), (state, s2)):
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), b), orig, back)
+
+    mp, ms = mlp_init(jax.random.PRNGKey(10), cfg)
+    msd = mlp_to_torch_state_dict(mp, ms, cfg)
+    # dropout sits only after the first hidden block: net indices 0,1 / 4,5
+    # / 7,8 / 10 for three hidden layers
+    assert "net.10.weight" in msd and "net.9.weight" not in msd
+    mp2, ms2 = mlp_from_torch_state_dict(msd, cfg)
+    for orig, back in ((mp, mp2), (ms, ms2)):
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), b), orig, back)
+
+
 def test_pipeline_export_torch_cli_roundtrip(tmp_path):
     """User surface: pipe.save -> `satae export-torch` -> pipe.load_torch
     recovers bit-identical trees (default 64x64 config)."""
