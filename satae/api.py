@@ -59,6 +59,7 @@ class SatAEPipeline:
         self.mlp_bn_state: Any = None
         self.classes = None
         self._encode_step = None
+        self._encode_pad = 1  # input padding multiple (mesh device count)
         self._predict_step = None
 
     # -- training ----------------------------------------------------------
@@ -327,10 +328,24 @@ class SatAEPipeline:
         return tuple(cast(t) for t in trees)
 
     def encode(self, images: np.ndarray) -> np.ndarray:
-        """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim)."""
+        """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim).
+
+        With ``RuntimeConfig.n_devices`` set, the encoder forward is
+        batch-sharded over the device mesh (inputs padded to a device
+        multiple, numerics-identical — the same DP path fit() extraction
+        uses); the mesh takes precedence over the Pallas kernels."""
         self._require_fitted()
         if self._encode_step is None:
-            if self._use_pallas():
+            nd = self.config.runtime.n_devices
+            self._encode_pad = nd or 1
+            if nd:
+                from satae.parallel import make_mesh
+                from satae.parallel.dp import make_dp_encode_step
+                mesh = make_mesh(nd, self.config.runtime.mesh_axis)
+                self._encode_step = make_dp_encode_step(
+                    mesh, self.config.model, self.config.compute_dtype,
+                    axis=self.config.runtime.mesh_axis)
+            elif self._use_pallas():
                 from satae.data.augment import normalize
                 from satae.models.fast_infer import encoder_infer_pallas
 
@@ -344,8 +359,13 @@ class SatAEPipeline:
             self._enc_infer_args = self._infer_trees(
                 self.ae_params["encoder"], self.ae_bn_state["encoder"])
         imgs = self._to_uint8(images)
+        n = len(imgs)
+        pad = (-n) % self._encode_pad
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         z = self._encode_step(*self._enc_infer_args, imgs)
-        return np.asarray(z, np.float32)
+        return np.asarray(z, np.float32)[:n]
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Images -> predicted class ids, through encoder + MLP."""

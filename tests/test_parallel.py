@@ -325,6 +325,33 @@ def test_fit_single_config_data_parallel():
     assert 0.0 <= summary.test_acc <= 1.0
 
 
+def test_mesh_sharded_encode_predict_matches_single_device():
+    """Serving path: pipe.encode/predict with n_devices shard the encoder
+    forward over the mesh and must match the single-device pipeline exactly,
+    including a batch NOT divisible by the device count (pad+slice)."""
+    from satae.api import SatAEPipeline
+    from satae.config import PipelineConfig, RuntimeConfig
+    from satae.models.mlp import mlp_init
+
+    def build(n_devices):
+        cfg = PipelineConfig(data=DataConfig(image_size=32, batch_size=16),
+                             model=MODEL_CFG,
+                             runtime=RuntimeConfig(n_devices=n_devices))
+        pipe = SatAEPipeline(cfg)
+        pipe.ae_params, pipe.ae_bn_state = supervised_ae_init(
+            jax.random.PRNGKey(0), MODEL_CFG, image_size=32)
+        pipe.mlp_params, pipe.mlp_bn_state = mlp_init(
+            jax.random.PRNGKey(1), MODEL_CFG, input_dim=MODEL_CFG.latent_dim)
+        return pipe
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (13, 32, 32, 3), dtype=np.uint8)  # 13 % 8 != 0
+    single, sharded = build(None), build(8)
+    np.testing.assert_allclose(sharded.encode(imgs), single.encode(imgs),
+                               atol=1e-6)
+    np.testing.assert_array_equal(sharded.predict(imgs), single.predict(imgs))
+
+
 def test_dp_multiple_steps_run():
     """Run a few sharded optimizer steps end to end (compile + execute)."""
     params, bn_state, opt_state, imgs, labels = _setup()
