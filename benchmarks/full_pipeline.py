@@ -92,15 +92,12 @@ def main() -> None:
 
     # grid heatmap (reference C17) from the sweep's result store, like the
     # CLI fit path renders
-    import json
-
     from satae.eval import plots
-    from satae.utils.strict_json import json_restore
+    from satae.io.checkpoint import load_grid_results
     results_file = Path(args.out) / "validation_losses.json"
     if results_file.exists():
-        plots.gridsearch_heatmap(json_restore(json.loads(
-            results_file.read_text())),
-            Path(args.out) / "gridsearch_heatmap.png")
+        plots.gridsearch_heatmap(load_grid_results(results_file),
+                                 Path(args.out) / "gridsearch_heatmap.png")
 
     # full test-split evaluation artifact (reference C23, Report.md:3170-3233):
     # the per-class classification report + confusion matrix PNG the

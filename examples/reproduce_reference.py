@@ -95,9 +95,8 @@ def main() -> None:
         pipe = SatAEPipeline(cfg)
         summary = pipe.fit(raw, grid=True, out_dir=str(out), log=log)
 
-    from satae.utils.strict_json import json_restore
-    results = json_restore(
-        json.loads((out / "validation_losses.json").read_text()))
+    from satae.io.checkpoint import load_grid_results
+    results = load_grid_results(out / "validation_losses.json")
     plots.gridsearch_heatmap(results, out / "gridsearch_heatmap.png")
 
     with sw.stage("evaluate"):

@@ -60,6 +60,7 @@ class SatAEPipeline:
         self.classes = None
         self._encode_step = None
         self._encode_pad = 1  # input padding multiple (mesh device count)
+        self._encode_in_sharding = None  # batch sharding for bulk uploads
         self._predict_step = None
 
     # -- training ----------------------------------------------------------
@@ -327,24 +328,25 @@ class SatAEPipeline:
             lambda x: jnp.asarray(x, dt), t)
         return tuple(cast(t) for t in trees)
 
-    def encode(self, images: np.ndarray) -> np.ndarray:
-        """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim).
-
-        With ``RuntimeConfig.n_devices`` set, the encoder forward is
-        batch-sharded over the device mesh (inputs padded to a device
-        multiple, numerics-identical — the same DP path fit() extraction
-        uses); the mesh takes precedence over the Pallas kernels."""
-        self._require_fitted()
+    def _ensure_infer_steps(self) -> None:
+        """Build the jit'd encode/predict steps lazily, and refresh the
+        pre-cast encoder trees whenever ae_params/ae_bn_state have been
+        REASSIGNED since the last call (direct assignment is a supported
+        pattern — tests and the dryrun use it — and must not silently serve
+        stale cached weights)."""
         if self._encode_step is None:
             nd = self.config.runtime.n_devices
             self._encode_pad = nd or 1
+            self._encode_in_sharding = None
             if nd:
-                from satae.parallel import make_mesh
+                from satae.parallel import batch_sharding, make_mesh
                 from satae.parallel.dp import make_dp_encode_step
                 mesh = make_mesh(nd, self.config.runtime.mesh_axis)
                 self._encode_step = make_dp_encode_step(
                     mesh, self.config.model, self.config.compute_dtype,
                     axis=self.config.runtime.mesh_axis)
+                self._encode_in_sharding = batch_sharding(
+                    mesh, 4, axis=self.config.runtime.mesh_axis)
             elif self._use_pallas():
                 from satae.data.augment import normalize
                 from satae.models.fast_infer import encoder_infer_pallas
@@ -356,8 +358,31 @@ class SatAEPipeline:
             else:
                 self._encode_step = make_encode_step(self.config.model,
                                                      self.config.compute_dtype)
+        if self._predict_step is None:
+            if self._use_pallas():
+                from satae.models.fast_infer import mlp_infer_pallas
+
+                cfg = self.config.model
+                self._predict_step = jax.jit(
+                    lambda p, s, x: jnp.argmax(
+                        mlp_infer_pallas(p, s, x, cfg), axis=-1))
+            else:
+                self._predict_step = S.make_mlp_predict(self.config.model)
+        src = (id(self.ae_params), id(self.ae_bn_state))
+        if getattr(self, "_enc_infer_src", None) != src:
             self._enc_infer_args = self._infer_trees(
                 self.ae_params["encoder"], self.ae_bn_state["encoder"])
+            self._enc_infer_src = src
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim).
+
+        With ``RuntimeConfig.n_devices`` set, the encoder forward is
+        batch-sharded over the device mesh (inputs padded to a device
+        multiple, numerics-identical — the same DP path fit() extraction
+        uses); the mesh takes precedence over the Pallas kernels."""
+        self._require_fitted()
+        self._ensure_infer_steps()
         imgs = self._to_uint8(images)
         n = len(imgs)
         pad = (-n) % self._encode_pad
@@ -371,36 +396,42 @@ class SatAEPipeline:
         """Images -> predicted class ids, through encoder + MLP."""
         self._require_fitted()
         z = self.encode(images)
-        if self._predict_step is None:
-            if self._use_pallas():
-                from satae.models.fast_infer import mlp_infer_pallas
-
-                cfg = self.config.model
-                self._predict_step = jax.jit(
-                    lambda p, s, x: jnp.argmax(
-                        mlp_infer_pallas(p, s, x, cfg), axis=-1))
-            else:
-                self._predict_step = S.make_mlp_predict(self.config.model)
         # f32 master MLP params: z is float32 on host, so the layers run f32
         # regardless of compute_dtype (see _infer_trees docstring)
         return np.asarray(self._predict_step(self.mlp_params,
                                              self.mlp_bn_state, z))
 
     def predict_batched(self, images: np.ndarray) -> np.ndarray:
-        """predict() over an arbitrarily sized image array, zero-padded to a
-        chunk multiple so every device call has the SAME shape — one
-        compiled program regardless of input size (the repo's
-        two-shapes-max discipline, satae/train/steps.py)."""
-        bs = self.config.data.batch_size
-        imgs = np.asarray(images)
+        """predict() over an arbitrarily sized image array, shaped for
+        serving through a high-latency link: ONE host->device upload,
+        fixed-size on-device chunks (every call compiles exactly one chunk
+        shape regardless of input size — two-shapes-max discipline,
+        satae/train/steps.py), latents chained into the MLP on device, and
+        one prediction readback. Per-chunk host round trips are the
+        measured dominant cost on the TPU relay (docs/PERF.md, 'uploads
+        are as expensive as readbacks')."""
+        self._require_fitted()
+        imgs = self._to_uint8(np.asarray(images))
         n = len(imgs)
-        chunk = min(bs * 8, max(n, 1))
+        if n == 0:
+            return np.zeros((0,), np.int32)
+        self._ensure_infer_steps()
+        bs = self.config.data.batch_size
+        chunk = -(-bs * 8 // self._encode_pad) * self._encode_pad
         pad = (-n) % chunk
         if pad:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        return np.concatenate([self.predict(imgs[lo:lo + chunk])
-                               for lo in range(0, n + pad, chunk)])[:n]
+        imgs_dev = jax.device_put(imgs, self._encode_in_sharding)
+        preds = []
+        for lo in range(0, n + pad, chunk):
+            z = self._encode_step(*self._enc_infer_args,
+                                  imgs_dev[lo:lo + chunk])
+            # match predict(): the MLP runs on f32 latents (master params)
+            preds.append(self._predict_step(self.mlp_params,
+                                            self.mlp_bn_state,
+                                            z.astype(jnp.float32)))
+        return np.asarray(jnp.concatenate(preds))[:n]
 
     def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
         """Confusion matrix + per-class metrics over a split (reference C23).

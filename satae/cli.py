@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import json
 from pathlib import Path
 
-from satae.utils.strict_json import dump_strict_json, json_restore
+from satae.utils.strict_json import dump_strict_json
 
 
 def _config_from_args(args) -> "PipelineConfig":
@@ -62,11 +61,9 @@ def cmd_fit(args) -> None:
 
     results_file = Path(args.out) / "validation_losses.json"
     if results_file.exists():
-        # json_restore: diverged configs store "inf"/"nan" strings (strict
-        # JSON) — restore them to floats before any consumer arithmetic
-        plots.gridsearch_heatmap(json_restore(json.loads(
-            results_file.read_text())),
-            Path(args.out) / "gridsearch_heatmap.png")
+        from satae.io.checkpoint import load_grid_results
+        plots.gridsearch_heatmap(load_grid_results(results_file),
+                                 Path(args.out) / "gridsearch_heatmap.png")
 
 
 def cmd_calibrate(args) -> None:
@@ -189,9 +186,9 @@ def cmd_report(args) -> None:
     out = Path(args.out)
     results_file = out / "validation_losses.json"
     if results_file.exists():
-        p = plots.gridsearch_heatmap(json_restore(json.loads(
-            results_file.read_text())),
-            out / "gridsearch_heatmap.png")
+        from satae.io.checkpoint import load_grid_results
+        p = plots.gridsearch_heatmap(load_grid_results(results_file),
+                                     out / "gridsearch_heatmap.png")
         print(f"wrote {p}")
 
 

@@ -96,6 +96,14 @@ def load_train_state(path: str | Path, *, params_like: Any,
     return blob["params"], blob["bn_state"], blob["opt_state"], meta
 
 
+def load_grid_results(path: str | Path) -> Dict[str, Dict[str, Any]]:
+    """Read a validation_losses.json with strict-JSON restore (diverged
+    configs store "inf"/"nan" STRINGS; consumers doing arithmetic need them
+    back as floats). The one sanctioned way to load grid results — don't
+    hand-roll json.loads at call sites."""
+    return GridResultStore(path).results
+
+
 class GridResultStore:
     """Append-safe grid-search result store (the reference's
     validation_losses.json, flushed per config for crash resumability)."""

@@ -54,6 +54,38 @@ def test_fit_encode_predict_save_load(raw, tmp_path):
     assert json.loads((tmp_path / "fit_summary.json").read_text())
 
 
+def test_encode_sees_reassigned_params(raw):
+    """Directly reassigning ae_params/ae_bn_state after a first encode()
+    must take effect (the pre-cast tree cache once served stale weights)."""
+    import jax
+
+    from satae.models.mlp import mlp_init
+    from satae.models.supervised_ae import supervised_ae_init
+
+    def init(seed):
+        return supervised_ae_init(jax.random.PRNGKey(seed), TINY.model,
+                                  image_size=TINY.data.image_size)
+
+    pipe = SatAEPipeline(TINY)
+    pipe.ae_params, pipe.ae_bn_state = init(0)
+    pipe.mlp_params, pipe.mlp_bn_state = mlp_init(jax.random.PRNGKey(0),
+                                                  TINY.model)
+    imgs = raw.images[:8]
+    z0 = pipe.encode(imgs)
+    pipe.ae_params, pipe.ae_bn_state = init(1)
+    z1 = pipe.encode(imgs)
+    assert not np.allclose(z0, z1), "reassigned encoder weights ignored"
+    fresh = SatAEPipeline(TINY)
+    fresh.ae_params, fresh.ae_bn_state = init(1)
+    np.testing.assert_allclose(z1, fresh.encode(imgs), atol=1e-6)
+    # predict_batched chains encode->MLP on device; must match predict()
+    np.testing.assert_array_equal(pipe.predict_batched(imgs),
+                                  pipe.predict(imgs))
+    # empty input: defined, empty result
+    assert pipe.predict_batched(
+        np.zeros((0, 32, 32, 3), np.uint8)).shape == (0,)
+
+
 def test_fit_with_grid(raw, tmp_path):
     cfg = TINY
     pipe = SatAEPipeline(cfg)

@@ -102,9 +102,11 @@ def test_dp_extract_features_matches():
     imgs, labels, classes = make_synthetic_eurosat(per_class=16, image_size=32,
                                                    seed=0)
     splits = make_splits(RawDataset(imgs, labels, classes), data_cfg)
-    # val split: 16*10*0.15 = 24 images — not divisible by 8
-    ds = splits.val
-    assert len(ds) % 8 != 0 or len(ds) == 24
+    # 21 images: NOT divisible by the 8-device mesh, so the pad+slice path
+    # is genuinely exercised (the val split's natural 24 is a multiple of 8)
+    from satae.data.pipeline import ArrayDataset
+    ds = ArrayDataset(splits.val.images[:21], splits.val.labels[:21])
+    assert len(ds) % 8 != 0
     X1, y1 = extract_features(params["encoder"], bn_state["encoder"], ds,
                               MODEL_CFG, data_cfg.batch_size,
                               make_encode_step(MODEL_CFG))
