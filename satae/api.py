@@ -62,6 +62,7 @@ class SatAEPipeline:
         self._encode_pad = 1  # input padding multiple (mesh device count)
         self._encode_in_sharding = None  # batch sharding for bulk uploads
         self._predict_step = None
+        self._proba_step = None
 
     # -- training ----------------------------------------------------------
 
@@ -238,6 +239,7 @@ class SatAEPipeline:
         self.mlp_params, self.mlp_bn_state = mlp_res.params, mlp_res.bn_state
         self._encode_step = None
         self._predict_step = None
+        self._proba_step = None
         _stage("mlp")
 
         # final test evaluation on the already-extracted latents (no second
@@ -366,8 +368,12 @@ class SatAEPipeline:
                 self._predict_step = jax.jit(
                     lambda p, s, x: jnp.argmax(
                         mlp_infer_pallas(p, s, x, cfg), axis=-1))
+                self._proba_step = jax.jit(
+                    lambda p, s, x: jax.nn.softmax(
+                        mlp_infer_pallas(p, s, x, cfg), axis=-1))
             else:
                 self._predict_step = S.make_mlp_predict(self.config.model)
+                self._proba_step = S.make_mlp_proba(self.config.model)
         src = (id(self.ae_params), id(self.ae_bn_state))
         if getattr(self, "_enc_infer_src", None) != src:
             self._enc_infer_args = self._infer_trees(
@@ -401,20 +407,26 @@ class SatAEPipeline:
         return np.asarray(self._predict_step(self.mlp_params,
                                              self.mlp_bn_state, z))
 
-    def predict_batched(self, images: np.ndarray) -> np.ndarray:
-        """predict() over an arbitrarily sized image array, shaped for
-        serving through a high-latency link: ONE host->device upload,
-        fixed-size on-device chunks (every call compiles exactly one chunk
-        shape regardless of input size — two-shapes-max discipline,
-        satae/train/steps.py), latents chained into the MLP on device, and
-        one prediction readback. Per-chunk host round trips are the
-        measured dominant cost on the TPU relay (docs/PERF.md, 'uploads
-        are as expensive as readbacks')."""
+    def predict_proba(self, images: np.ndarray) -> np.ndarray:
+        """Images -> per-class probabilities (softmax over the MLP logits),
+        (N, num_classes) float32. The serving confidence surface — no
+        reference counterpart (the notebook only argmaxes,
+        Report.md:3179-3184)."""
         self._require_fitted()
+        z = self.encode(images)
+        return np.asarray(self._proba_step(self.mlp_params,
+                                           self.mlp_bn_state, z))
+
+    def _serve_batched(self, images: np.ndarray, head) -> list:
+        """Shared bulk-serving executor: ONE host->device upload, fixed-size
+        on-device chunks (every call compiles exactly one chunk shape
+        regardless of input size — two-shapes-max discipline,
+        satae/train/steps.py), latents chained into ``head`` on device.
+        Returns per-chunk device arrays covering n+pad rows. Per-chunk host
+        round trips are the measured dominant cost on the TPU relay
+        (docs/PERF.md, 'uploads are as expensive as readbacks')."""
         imgs = self._to_uint8(np.asarray(images))
         n = len(imgs)
-        if n == 0:
-            return np.zeros((0,), np.int32)
         self._ensure_infer_steps()
         bs = self.config.data.batch_size
         chunk = -(-bs * 8 // self._encode_pad) * self._encode_pad
@@ -423,15 +435,37 @@ class SatAEPipeline:
             imgs = np.concatenate(
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         imgs_dev = jax.device_put(imgs, self._encode_in_sharding)
-        preds = []
+        out = []
         for lo in range(0, n + pad, chunk):
             z = self._encode_step(*self._enc_infer_args,
                                   imgs_dev[lo:lo + chunk])
             # match predict(): the MLP runs on f32 latents (master params)
-            preds.append(self._predict_step(self.mlp_params,
-                                            self.mlp_bn_state,
-                                            z.astype(jnp.float32)))
+            out.append(head(z.astype(jnp.float32)))
+        return out
+
+    def predict_batched(self, images: np.ndarray) -> np.ndarray:
+        """predict() over an arbitrarily sized image array via the bulk
+        serving path (:meth:`_serve_batched`); one prediction readback."""
+        self._require_fitted()
+        n = len(np.asarray(images))
+        if n == 0:
+            return np.zeros((0,), np.int32)
+        preds = self._serve_batched(
+            images, lambda z: self._predict_step(self.mlp_params,
+                                                 self.mlp_bn_state, z))
         return np.asarray(jnp.concatenate(preds))[:n]
+
+    def predict_proba_batched(self, images: np.ndarray) -> np.ndarray:
+        """predict_proba() over an arbitrarily sized image array via the
+        bulk serving path; one probability readback."""
+        self._require_fitted()
+        n = len(np.asarray(images))
+        if n == 0:
+            return np.zeros((0, self.config.model.num_classes), np.float32)
+        probs = self._serve_batched(
+            images, lambda z: self._proba_step(self.mlp_params,
+                                               self.mlp_bn_state, z))
+        return np.asarray(jnp.concatenate(probs))[:n]
 
     def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
         """Confusion matrix + per-class metrics over a split (reference C23).
@@ -481,6 +515,7 @@ class SatAEPipeline:
             self.classes = tuple(json.loads(classes_file.read_text()))
         self._encode_step = None
         self._predict_step = None
+        self._proba_step = None
         return self
 
     def export_torch(self, dest_dir: str) -> None:
@@ -512,6 +547,7 @@ class SatAEPipeline:
         self.mlp_params, self.mlp_bn_state = load_torch_mlp(mlp_pt, cfg.model)
         self._encode_step = None
         self._predict_step = None
+        self._proba_step = None
         return self
 
     def _require_fitted(self) -> None:

@@ -149,21 +149,25 @@ def cmd_predict(args) -> None:
     from satae.api import SatAEPipeline
     from satae.data.ingest import decode_images, scan_images
 
+    import numpy as np
+
     cfg = _config_from_args(args)
     pipe = SatAEPipeline(cfg).load(args.out)
     paths = scan_images(args.images)
     if not paths:
         raise FileNotFoundError(f"no images under {args.images}")
     images = decode_images(paths, cfg.data.image_size)
-    preds = pipe.predict_batched(images)
+    probs = pipe.predict_proba_batched(images)
+    preds = probs.argmax(axis=-1)
+    conf = probs.max(axis=-1)
     classes = pipe.classes or tuple(
         str(i) for i in range(cfg.model.num_classes))
     dest = Path(args.csv) if args.csv else Path(args.out) / "predictions.csv"
     with open(dest, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(("path", "class_id", "class_name"))
-        for p, c in zip(paths, preds):
-            w.writerow((str(p), int(c), classes[int(c)]))
+        w.writerow(("path", "class_id", "class_name", "confidence"))
+        for p, c, pr in zip(paths, preds, conf):
+            w.writerow((str(p), int(c), classes[int(c)], f"{pr:.4f}"))
     print(f"wrote {dest} ({len(paths)} predictions)")
 
 

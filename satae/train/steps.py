@@ -124,3 +124,15 @@ def make_mlp_predict(model_cfg: ModelConfig):
         return jnp.argmax(logits, axis=-1)
 
     return predict
+
+
+def make_mlp_proba(model_cfg: ModelConfig):
+    """Eval-mode class probabilities (softmax over the MLP logits) — the
+    serving-side confidence surface (no reference counterpart; the notebook
+    only argmaxes, Report.md:3179-3184)."""
+    @jax.jit
+    def proba(params, bn_state, x) -> jax.Array:
+        logits, _ = mlp_apply(params, bn_state, x, train=False, cfg=model_cfg)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return proba

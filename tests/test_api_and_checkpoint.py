@@ -84,6 +84,15 @@ def test_encode_sees_reassigned_params(raw):
     # empty input: defined, empty result
     assert pipe.predict_batched(
         np.zeros((0, 32, 32, 3), np.uint8)).shape == (0,)
+    # probabilities: normalized, argmax-consistent, batched path identical
+    probs = pipe.predict_proba(imgs)
+    assert probs.shape == (len(imgs), TINY.model.num_classes)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(probs.argmax(-1), pipe.predict(imgs))
+    np.testing.assert_allclose(pipe.predict_proba_batched(imgs), probs,
+                               atol=1e-6)
+    assert pipe.predict_proba_batched(
+        np.zeros((0, 32, 32, 3), np.uint8)).shape == (0, 10)
 
 
 def test_fit_with_grid(raw, tmp_path):

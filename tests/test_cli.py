@@ -70,11 +70,12 @@ def test_cli_predict_images_to_csv(tmp_path):
     main(["predict", "--out", str(out), "--images", str(imgdir)])
     with open(out / "predictions.csv", newline="") as f:
         rows = list(csv.reader(f))
-    assert rows[0] == ["path", "class_id", "class_name"]
+    assert rows[0] == ["path", "class_id", "class_name", "confidence"]
     assert len(rows) == 6
-    for path, cid, cname in rows[1:]:
+    for path, cid, cname, conf in rows[1:]:
         assert path.endswith(".png")
         assert EUROSAT_CLASSES[int(cid)] == cname
+        assert 0.0 < float(conf) <= 1.0
 
     # direct predictions on the same decoded images must match the CSV
     direct = pipe.predict_batched(np.stack(
