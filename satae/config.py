@@ -131,7 +131,10 @@ class RuntimeConfig:
 
     seed: int = 0
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly throughput runs
-    use_pallas: bool = False  # fused Pallas kernels for encode/predict
+    # fused Pallas kernels for encode/predict — numerics-validated but
+    # measured ~13-18x SLOWER than XLA at these shapes (docs/PERF.md);
+    # an experimentation flag, not a performance mode
+    use_pallas: bool = False
     mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
     n_devices: Optional[int] = None  # data-parallel device count (None = 1)
     grid_dp: int = 1  # grid mode: data-parallel devices PER CONFIG (2-D mesh)
