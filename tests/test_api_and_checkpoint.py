@@ -162,6 +162,20 @@ def test_grid_store(tmp_path):
     assert k1 in store2
 
 
+def test_load_grid_results_restores_strict_json(tmp_path):
+    """The shared validation_losses.json loader turns strict-JSON "inf"/"nan"
+    strings (diverged configs) back into floats for consumer arithmetic."""
+    from satae.io.checkpoint import load_grid_results
+
+    p = tmp_path / "validation_losses.json"
+    p.write_text('{"k": {"alpha": 20.0, "lr": 0.1, "best_val_loss": "inf"},'
+                 ' "j": {"alpha": 25.0, "lr": 0.1, "best_val_loss": 0.5}}')
+    r = load_grid_results(p)
+    assert r["k"]["best_val_loss"] == float("inf")
+    assert isinstance(r["k"]["best_val_loss"], float)
+    assert r["j"]["best_val_loss"] == 0.5
+
+
 def test_json_artifacts_are_strict_json(tmp_path):
     """Diverged configs produce inf/NaN val losses; the persisted JSON must
     stay strict-parseable (no Infinity/NaN literals, which jq/JS reject) and
