@@ -60,12 +60,16 @@ def test_cli_predict_images_to_csv(tmp_path):
     out.mkdir()
     pipe.save(str(out))
 
+    # class-tree layout: scan_images must recurse (ImageFolder-style dirs
+    # are the natural thing a reference user points --images at)
     imgdir = tmp_path / "imgs"
-    imgdir.mkdir()
+    (imgdir / "ClassA").mkdir(parents=True)
+    (imgdir / "ClassB").mkdir()
     rng = np.random.default_rng(0)
     for i in range(5):
+        sub = "ClassA" if i < 3 else "ClassB"
         Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
-                        ).save(imgdir / f"img{i}.png")
+                        ).save(imgdir / sub / f"img{i}.png")
 
     main(["predict", "--out", str(out), "--images", str(imgdir)])
     with open(out / "predictions.csv", newline="") as f:
@@ -78,8 +82,11 @@ def test_cli_predict_images_to_csv(tmp_path):
         assert 0.0 < float(conf) <= 1.0
 
     # direct predictions on the same decoded images must match the CSV
+    # (scan_images order = sorted full paths: ClassA/* then ClassB/*)
+    srcs = [imgdir / ("ClassA" if i < 3 else "ClassB") / f"img{i}.png"
+            for i in range(5)]
     direct = pipe.predict_batched(np.stack(
-        [np.asarray(Image.open(imgdir / f"img{i}.png")) for i in range(5)]))
+        [np.asarray(Image.open(p)) for p in srcs]))
     assert [int(r[1]) for r in rows[1:]] == [int(c) for c in direct]
 
 

@@ -352,6 +352,10 @@ def test_mesh_sharded_encode_predict_matches_single_device():
     np.testing.assert_allclose(sharded.encode(imgs), single.encode(imgs),
                                atol=1e-6)
     np.testing.assert_array_equal(sharded.predict(imgs), single.predict(imgs))
+    np.testing.assert_allclose(sharded.predict_proba(imgs),
+                               single.predict_proba(imgs), atol=1e-6)
+    np.testing.assert_array_equal(sharded.predict_batched(imgs),
+                                  single.predict(imgs))
 
 
 def test_dp_multiple_steps_run():
