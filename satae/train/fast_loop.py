@@ -173,6 +173,15 @@ def train_supervised_ae_scan(
             best_snapshot = ckpt.load_model(best_file,
                                             jax.device_get(params),
                                             jax.device_get(bn_state))
+        if mesh is not None:
+            # load_train_state returned host pytrees; restore the
+            # replicated-on-mesh invariant the engine's sharded epoch
+            # programs were compiled against
+            from satae.parallel import replicate
+            params = replicate(mesh, params)
+            bn_state = replicate(mesh, bn_state)
+            opt_state = replicate(mesh, opt_state)
+            best_snapshot = replicate(mesh, best_snapshot)
         if log:
             log(f"resumed from {checkpoint_path} at epoch {start_epoch}")
         resumed_epochs = start_epoch
@@ -181,7 +190,11 @@ def train_supervised_ae_scan(
     else:
         resumed_epochs = 0
 
-    pipelined = not checkpoint_path
+    # synchronous (readback-per-epoch) execution is only needed while
+    # FLUSHING in-flight state (the saved opt_state must match the epoch);
+    # checkpoint_path alone (resume-only, checkpoint_every=0) keeps the
+    # ~1.8x-faster pipelined loop
+    pipelined = not (checkpoint_path and checkpoint_every)
     pending = None  # (epoch, device tsum, device vsum, device snapshot)
     stopped = False
 

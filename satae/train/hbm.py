@@ -34,7 +34,17 @@ from satae.train.optim import adam_update
 
 
 def epoch_order(n: int, batch_size: int, seed: int, epoch: int) -> np.ndarray:
-    """Shuffled full-batch index matrix (n_steps, batch_size) for one epoch."""
+    """Shuffled full-batch index matrix (n_steps, batch_size) for one epoch.
+
+    ``seed + epoch`` makes shuffle streams overlap diagonally across grid
+    configs (config ci is seeded ``base + ci``, so ci/epoch e shares its
+    permutation with ci+1/epoch e-1). DELIBERATE: shared sample orders act
+    as common random numbers for the alpha/lr comparison (paired-comparison
+    variance reduction, not a bias — every config still sees each sample
+    once per epoch, and augmentation keys are config-distinct via fold_in),
+    and golden trajectories plus cross-engine seeding parity depend on this
+    exact stream. Don't "fix" it to hash-based seeding without regenerating
+    both."""
     perm = np.random.default_rng(seed + epoch).permutation(n)
     n_steps = n // batch_size
     return perm[: n_steps * batch_size].reshape(n_steps, batch_size)

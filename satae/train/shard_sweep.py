@@ -34,6 +34,10 @@ from satae.data.pipeline import ArrayDataset
 from satae.io.checkpoint import GridResultStore
 from satae.models.mlp import mlp_init
 from satae.models.supervised_ae import supervised_ae_init
+# replicate-to-mesh comes from the shared parallel helpers (one copy of the
+# device_put logic); host arrays go straight in — no intermediate default-
+# device upload (each host->device transfer costs ~0.25 s on the relay)
+from satae.parallel import replicate as _replicate
 from satae.train import hbm
 from satae.train.fast_loop import _device_copy
 from satae.train.gridsearch import SweepResult
@@ -69,9 +73,6 @@ def _shard_cfg_axis(mesh, tree: Any, axis: str) -> Any:
     return jax.tree_util.tree_map(put, tree)
 
 
-def _replicate(mesh, tree: Any) -> Any:
-    sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
 class ShardedSweepEngine:
@@ -188,12 +189,13 @@ def ae_sharded_grid_search(
         mesh, n_scalar_train=2, n_scalar_eval=1)
 
     if dp_axis is None:
-        images = _replicate(mesh, jnp.asarray(train_ds.images))
-        labels = _replicate(mesh, jnp.asarray(train_ds.labels))
+        images = _replicate(mesh, train_ds.images)
+        labels = _replicate(mesh, train_ds.labels)
     else:
         # 2-D mesh: the dataset lives batch-sharded over the data axis
         # (replicated over configs); zero-padding rows make the sample axis
         # divisible — epoch_order never samples indices >= len(train_ds)
+        from satae.parallel import batch_sharding
         n_dp = int(mesh.shape[dp_axis])
         pad = (-len(train_ds)) % n_dp
         imgs_h, labs_h = train_ds.images, train_ds.labels
@@ -201,12 +203,10 @@ def ae_sharded_grid_search(
             imgs_h = np.concatenate(
                 [imgs_h, np.zeros((pad,) + imgs_h.shape[1:], imgs_h.dtype)])
             labs_h = np.concatenate([labs_h, np.zeros((pad,), labs_h.dtype)])
-        images = jax.device_put(
-            imgs_h, NamedSharding(mesh, P(dp_axis, None, None, None)))
-        labels = jax.device_put(labs_h, NamedSharding(mesh, P(dp_axis)))
+        images = jax.device_put(imgs_h, batch_sharding(mesh, 4, dp_axis))
+        labels = jax.device_put(labs_h, batch_sharding(mesh, 1, dp_axis))
     val_data = _replicate(
-        mesh, tuple(jnp.asarray(a) for a in
-                    hbm.padded_eval_batches(val_ds, data_cfg.batch_size)))
+        mesh, hbm.padded_eval_batches(val_ds, data_cfg.batch_size))
     n_train_counted = (len(train_ds) // data_cfg.batch_size) \
         * data_cfg.batch_size
 
@@ -405,13 +405,11 @@ def mlp_sharded_grid_search(
         hbm.mlp_train_epoch_body(model_cfg), hbm.mlp_eval_body(model_cfg),
         mesh, n_scalar_train=2, n_scalar_eval=0)
 
-    xs = _replicate(mesh, jnp.asarray(np.asarray(train_x, np.float32)))
-    ys = _replicate(mesh, jnp.asarray(np.asarray(train_y, np.int32)))
+    xs = _replicate(mesh, np.asarray(train_x, np.float32))
+    ys = _replicate(mesh, np.asarray(train_y, np.int32))
     val = ArrayDataset(np.asarray(val_x, np.float32),
                        np.asarray(val_y, np.int32))
-    val_data = _replicate(
-        mesh, tuple(jnp.asarray(a)
-                    for a in hbm.padded_eval_batches(val, batch_size)))
+    val_data = _replicate(mesh, hbm.padded_eval_batches(val, batch_size))
     n_counted = (len(train_y) // batch_size) * batch_size
 
     book = SweepBook(out_dir, ckpt_name="mlp_global_best",
@@ -524,6 +522,21 @@ def mlp_sharded_grid_search(
                                 mlp_cfg.epochs,
                                 {k: history[k][i] for k in history}),
                     {"lr": lr})
+            else:
+                # no best-epoch snapshot (val_acc never exceeded the -1.0
+                # init, e.g. all-NaN logits): only end-of-run weights
+                # exist, and only the all-diverged fallback may want them —
+                # mirror the AE engine so mode=max degrades like min
+                # instead of resolve() raising with nothing to return
+                cand = float(np.nan_to_num(-best_acc[i], nan=np.inf))
+                if book.fallback is None or cand < book.fallback_key:
+                    book.offer_fallback(
+                        TrainResult(_slice_tree(vparams, i),
+                                    _slice_tree(vbn, i),
+                                    float(best_loss[i]), float(best_acc[i]),
+                                    int(best_epoch[i]), mlp_cfg.epochs,
+                                    {k: history[k][i] for k in history}),
+                        {"lr": lr})
             book.record(key, summary)
             if save_curves and out_dir:
                 from satae.eval import plots

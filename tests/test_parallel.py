@@ -235,6 +235,31 @@ def test_sharded_mlp_grid_matches_sequential(tmp_path):
     assert (tmp_path / "mlp_global_best.msgpack").exists()
 
 
+def test_sharded_mlp_grid_no_snapshot_degrades_to_fallback(tmp_path):
+    """When no config retains a best-epoch snapshot (epochs=0 is the
+    reachable degenerate case), the sharded MLP sweep must degrade to the
+    SweepBook fallback like the AE engine — returning end-of-run weights
+    and writing mlp_global_best.msgpack — instead of resolve() raising."""
+    import json
+
+    from satae.config import MLPTrainConfig
+    from satae.train.shard_sweep import mlp_sharded_grid_search
+
+    rng = np.random.default_rng(0)
+    Xtr = rng.normal(0, 1, (64, 16)).astype(np.float32)
+    ytr = rng.integers(0, 10, 64).astype(np.int32)
+    Xva = rng.normal(0, 1, (32, 16)).astype(np.float32)
+    yva = rng.integers(0, 10, 32).astype(np.int32)
+    shd = mlp_sharded_grid_search(
+        Xtr, ytr, Xva, yva, model_cfg=MODEL_CFG,
+        mlp_cfg=MLPTrainConfig(learning_rates=(1e-3, 1e-2), epochs=0),
+        mesh=make_mesh(8), batch_size=32, seed=0, out_dir=str(tmp_path))
+    assert shd.best is not None
+    assert (tmp_path / "mlp_global_best.msgpack").exists()
+    meta = json.loads((tmp_path / "mlp_global_best.json").read_text())
+    assert meta.get("diverged") is True
+
+
 def test_sharded_ae_grid_2d_mesh_matches_sequential():
     """2-D (config x data) mesh: each config trains data-parallel over the
     data axis while configs parallelize over the config axis. Selection must

@@ -48,6 +48,48 @@ def test_checkpoint_resume_matches_uninterrupted(splits, tmp_path):
                                                   rel=1e-5)
 
 
+def test_checkpoint_resume_on_mesh_matches_uninterrupted(splits, tmp_path):
+    """Mesh-sharded training + mid-config resume: load_train_state returns
+    host pytrees, which must be re-replicated onto the mesh before the
+    sharded epoch programs consume them (regression: the resume path once
+    skipped re-replication)."""
+    from satae.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    kwargs = dict(model_cfg=MODEL_CFG, data_cfg=DATA_CFG, alpha=35.0,
+                  lr=2e-3, patience=15, seed=0, mesh=mesh)
+    straight = train_supervised_ae_scan(splits.train, splits.val,
+                                        max_epochs=4, **kwargs)
+    ckpt = str(tmp_path / "state_mesh.msgpack")
+    train_supervised_ae_scan(splits.train, splits.val, max_epochs=2,
+                             checkpoint_path=ckpt, checkpoint_every=1,
+                             **kwargs)
+    resumed = train_supervised_ae_scan(splits.train, splits.val, max_epochs=4,
+                                       checkpoint_path=ckpt,
+                                       checkpoint_every=1, **kwargs)
+    assert len(resumed.history["val_loss"]) == 4
+    np.testing.assert_allclose(resumed.history["val_loss"],
+                               straight.history["val_loss"], rtol=1e-5)
+    assert resumed.best_epoch == straight.best_epoch
+
+
+def test_resume_only_checkpoint_path_stays_pipelined(splits, tmp_path):
+    """checkpoint_path WITHOUT checkpoint_every (resume-only) must not
+    silently drop to the synchronous loop: results equal the pipelined run
+    and no checkpoint is written."""
+    kwargs = dict(model_cfg=MODEL_CFG, data_cfg=DATA_CFG, alpha=35.0,
+                  lr=2e-3, patience=15, seed=0)
+    plain = train_supervised_ae_scan(splits.train, splits.val, max_epochs=3,
+                                     **kwargs)
+    ckpt = tmp_path / "never_written.msgpack"
+    with_path = train_supervised_ae_scan(splits.train, splits.val,
+                                         max_epochs=3,
+                                         checkpoint_path=str(ckpt), **kwargs)
+    assert not ckpt.exists()
+    np.testing.assert_allclose(with_path.history["val_loss"],
+                               plain.history["val_loss"], rtol=1e-6)
+
+
 def test_resume_of_stopped_run_keeps_real_epoch_count(splits, tmp_path):
     """Resuming a run whose early stopping already triggered must return the
     REAL epoch count, not max_epochs (the loop-skip sentinel)."""
