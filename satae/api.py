@@ -306,6 +306,12 @@ class SatAEPipeline:
             raise ValueError(
                 f"float images must be normalized to [0,1] (max={mx:.3g}); "
                 "pass uint8 for raw 0-255 pixel values")
+        mn = float(imgs.min(initial=0.0))
+        if mn < -1e-3:
+            raise ValueError(
+                f"float images must be normalized to [0,1] (min={mn:.3g}); "
+                "[-1,1]-standardized inputs would have every negative pixel "
+                "silently clipped to 0")
         return np.rint(np.clip(imgs, 0.0, 1.0) * 255.0).astype(np.uint8)
 
     def _use_pallas(self) -> bool:
@@ -374,11 +380,15 @@ class SatAEPipeline:
             else:
                 self._predict_step = S.make_mlp_predict(self.config.model)
                 self._proba_step = S.make_mlp_proba(self.config.model)
-        src = (id(self.ae_params), id(self.ae_bn_state))
-        if getattr(self, "_enc_infer_src", None) != src:
+        # strong refs + identity comparison: holding the source trees keeps
+        # them alive, so `is` can never false-match a recycled id() of a
+        # freed tree (only the CURRENT trees are retained — refresh swaps
+        # the refs, releasing the previous generation)
+        src = getattr(self, "_enc_infer_src", (None, None))
+        if self.ae_params is not src[0] or self.ae_bn_state is not src[1]:
             self._enc_infer_args = self._infer_trees(
                 self.ae_params["encoder"], self.ae_bn_state["encoder"])
-            self._enc_infer_src = src
+            self._enc_infer_src = (self.ae_params, self.ae_bn_state)
 
     def encode(self, images: np.ndarray) -> np.ndarray:
         """uint8 images or floats in [0,1], (N,H,W,C) -> (N, latent_dim).
@@ -391,6 +401,8 @@ class SatAEPipeline:
         self._ensure_infer_steps()
         imgs = self._to_uint8(images)
         n = len(imgs)
+        if n == 0:  # defined for every backend (Pallas GEMMs reject m=0)
+            return np.zeros((0, self.config.model.latent_dim), np.float32)
         pad = (-n) % self._encode_pad
         if pad:
             imgs = np.concatenate(
@@ -402,6 +414,8 @@ class SatAEPipeline:
         """Images -> predicted class ids, through encoder + MLP."""
         self._require_fitted()
         z = self.encode(images)
+        if len(z) == 0:
+            return np.zeros((0,), np.int32)
         # f32 master MLP params: z is float32 on host, so the layers run f32
         # regardless of compute_dtype (see _infer_trees docstring)
         return np.asarray(self._predict_step(self.mlp_params,
@@ -414,6 +428,8 @@ class SatAEPipeline:
         Report.md:3179-3184)."""
         self._require_fitted()
         z = self.encode(images)
+        if len(z) == 0:
+            return np.zeros((0, self.config.model.num_classes), np.float32)
         return np.asarray(self._proba_step(self.mlp_params,
                                            self.mlp_bn_state, z))
 
@@ -476,7 +492,7 @@ class SatAEPipeline:
         out["confusion_matrix"] = cm
         out["report"] = M.classification_report(
             ds.labels, preds, self.config.model.num_classes,
-            target_names=self.classes)
+            target_names=self.classes, cm=cm)
         return out
 
     # -- persistence -------------------------------------------------------

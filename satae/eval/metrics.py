@@ -58,9 +58,15 @@ def per_class_metrics(cm: np.ndarray) -> Dict[str, np.ndarray]:
 
 def classification_report(y_true, y_pred, num_classes: int,
                           target_names: Optional[Sequence[str]] = None,
-                          digits: int = 4) -> str:
-    """sklearn-compatible text report (digits=4 like Report.md:3215)."""
-    cm = confusion_matrix(y_true, y_pred, num_classes)
+                          digits: int = 4,
+                          cm: Optional[np.ndarray] = None) -> str:
+    """sklearn-compatible text report (digits=4 like Report.md:3215).
+
+    Pass a precomputed ``cm`` to skip the device einsum + host readback
+    (~25-30 ms blocking round-trip on the TPU relay) when the caller
+    already built the confusion matrix from the same y_true/y_pred."""
+    if cm is None:
+        cm = confusion_matrix(y_true, y_pred, num_classes)
     m = per_class_metrics(cm)
     names = list(target_names) if target_names else [
         str(i) for i in range(num_classes)]

@@ -93,6 +93,14 @@ def test_encode_sees_reassigned_params(raw):
                                atol=1e-6)
     assert pipe.predict_proba_batched(
         np.zeros((0, 32, 32, 3), np.uint8)).shape == (0, 10)
+    # ...and on the non-batched serving paths too
+    empty = np.zeros((0, 32, 32, 3), np.uint8)
+    assert pipe.encode(empty).shape == (0, TINY.model.latent_dim)
+    assert pipe.predict(empty).shape == (0,)
+    assert pipe.predict_proba(empty).shape == (0, 10)
+    # [-1,1]-standardized floats must be rejected, not silently clipped
+    with pytest.raises(ValueError, match="min="):
+        pipe.encode(np.full((2, 32, 32, 3), -0.5, np.float32))
 
 
 def test_fit_with_grid(raw, tmp_path):

@@ -210,6 +210,8 @@ def test_confusion_and_report_match_sklearn():
     theirs = sk_report(y_true, y_pred, labels=range(10), digits=4)
     # compare the numeric table cell-for-cell (layout whitespace may differ)
     assert ours.split() == theirs.split()
+    # precomputed-cm fast path (skips the device round-trip) is identical
+    assert M.classification_report(y_true, y_pred, 10, digits=4, cm=cm) == ours
 
 
 def test_batch_iterator_covers_dataset():
