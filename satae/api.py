@@ -63,6 +63,7 @@ class SatAEPipeline:
         self._encode_in_sharding = None  # batch sharding for bulk uploads
         self._predict_step = None
         self._proba_step = None
+        self._decode_step = None
 
     # -- training ----------------------------------------------------------
 
@@ -240,6 +241,7 @@ class SatAEPipeline:
         self._encode_step = None
         self._predict_step = None
         self._proba_step = None
+        self._decode_step = None
         _stage("mlp")
 
         # final test evaluation on the already-extracted latents (no second
@@ -324,11 +326,11 @@ class SatAEPipeline:
         encode+classify at batch 4096, numerics identical (the same cast,
         hoisted out of the program) — benchmarks/bf16_infer_probe.py.
 
-        Applied to the encoder path only: its activations run at the compute
-        dtype, so the hoist is a no-op numerically. The MLP predict path
-        consumes float32 latents (encode returns f32 to the host), so its
-        layers cast params UP to f32 — pre-casting those trees down to bf16
-        would truncate weights for zero speedup."""
+        Applied to the encoder and decoder paths only: their activations run
+        at the compute dtype, so the hoist is a no-op numerically. The MLP
+        predict path consumes float32 latents (encode returns f32 to the
+        host), so its layers cast params UP to f32 — pre-casting those trees
+        down to bf16 would truncate weights for zero speedup."""
         dt = self.config.compute_dtype
         if dt == jnp.float32:
             return trees
@@ -380,6 +382,25 @@ class SatAEPipeline:
             else:
                 self._predict_step = S.make_mlp_predict(self.config.model)
                 self._proba_step = S.make_mlp_proba(self.config.model)
+        if self._decode_step is None:
+            # decoder serving (reconstruct/decode). Always the XLA path —
+            # there is no Pallas decoder (the im2col conv penalty that rules
+            # Pallas out for the encoder, docs/PERF.md, applies doubly to
+            # the transposed convs)
+            if self.config.runtime.n_devices:
+                from satae.parallel import make_mesh
+                from satae.parallel.dp import make_dp_decode_step
+                mesh = make_mesh(self.config.runtime.n_devices,
+                                 self.config.runtime.mesh_axis)
+                self._decode_step = make_dp_decode_step(
+                    mesh, self.config.model, self.config.compute_dtype,
+                    axis=self.config.runtime.mesh_axis,
+                    image_size=self.config.data.image_size)
+            else:
+                from satae.train.extract import make_decode_step
+                self._decode_step = make_decode_step(
+                    self.config.model, self.config.compute_dtype,
+                    image_size=self.config.data.image_size)
         # strong refs + identity comparison: holding the source trees keeps
         # them alive, so `is` can never false-match a recycled id() of a
         # freed tree (only the CURRENT trees are retained — refresh swaps
@@ -388,6 +409,8 @@ class SatAEPipeline:
         if self.ae_params is not src[0] or self.ae_bn_state is not src[1]:
             self._enc_infer_args = self._infer_trees(
                 self.ae_params["encoder"], self.ae_bn_state["encoder"])
+            self._dec_infer_args = self._infer_trees(
+                self.ae_params["decoder"], self.ae_bn_state["decoder"])
             self._enc_infer_src = (self.ae_params, self.ae_bn_state)
 
     def encode(self, images: np.ndarray) -> np.ndarray:
@@ -483,6 +506,66 @@ class SatAEPipeline:
                                                self.mlp_bn_state, z))
         return np.asarray(jnp.concatenate(probs))[:n]
 
+    def decode(self, latents: np.ndarray) -> np.ndarray:
+        """Latents (N, latent_dim) -> reconstructed images (N, H, W, C)
+        float32 in [0,1] (the decoder ends in a sigmoid, Report.md:382-385).
+        The inverse of :meth:`encode`; mesh-sharded under
+        ``RuntimeConfig.n_devices`` like the encoder path."""
+        self._require_fitted()
+        self._ensure_infer_steps()
+        z = np.asarray(latents, np.float32)
+        ld = self.config.model.latent_dim
+        if z.ndim != 2 or z.shape[1] != ld:
+            raise ValueError(
+                f"latents must be (N, {ld}), got {z.shape}")
+        n = len(z)
+        sz = self.config.data.image_size
+        ch = self.config.data.channels
+        if n == 0:
+            return np.zeros((0, sz, sz, ch), np.float32)
+        pad = (-n) % self._encode_pad
+        if pad:
+            z = np.concatenate([z, np.zeros((pad, ld), np.float32)])
+        x = self._decode_step(*self._dec_infer_args, z)
+        return np.asarray(x, np.float32)[:n]
+
+    def reconstruct(self, images: np.ndarray) -> np.ndarray:
+        """Images -> autoencoder reconstructions ``x_hat``, float32 in [0,1].
+
+        The reference model's first forward output (``forward(x)`` returns
+        ``(x_hat, logits, z)``, Report.md:429-433) as a serving surface:
+        encoder and decoder run eval-mode on device with no host round-trip
+        for the latents in between. Accepts uint8 or [0,1] floats like
+        :meth:`encode`."""
+        self._require_fitted()
+        self._ensure_infer_steps()
+        imgs = self._to_uint8(images)
+        n = len(imgs)
+        sz = self.config.data.image_size
+        ch = self.config.data.channels
+        if n == 0:
+            return np.zeros((0, sz, sz, ch), np.float32)
+        pad = (-n) % self._encode_pad
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        z = self._encode_step(*self._enc_infer_args, imgs)
+        x = self._decode_step(*self._dec_infer_args, z)
+        return np.asarray(x, np.float32)[:n]
+
+    def reconstruct_batched(self, images: np.ndarray) -> np.ndarray:
+        """reconstruct() over an arbitrarily sized image array via the bulk
+        serving path (one upload, fixed-shape chunks, one readback)."""
+        self._require_fitted()
+        n = len(np.asarray(images))
+        if n == 0:
+            sz = self.config.data.image_size
+            return np.zeros((0, sz, sz, self.config.data.channels),
+                            np.float32)
+        outs = self._serve_batched(
+            images, lambda z: self._decode_step(*self._dec_infer_args, z))
+        return np.asarray(jnp.concatenate(outs))[:n]
+
     def evaluate(self, ds: ArrayDataset) -> Dict[str, Any]:
         """Confusion matrix + per-class metrics over a split (reference C23).
         """
@@ -532,6 +615,7 @@ class SatAEPipeline:
         self._encode_step = None
         self._predict_step = None
         self._proba_step = None
+        self._decode_step = None
         return self
 
     def export_torch(self, dest_dir: str) -> None:
@@ -564,6 +648,7 @@ class SatAEPipeline:
         self._encode_step = None
         self._predict_step = None
         self._proba_step = None
+        self._decode_step = None
         return self
 
     def _require_fitted(self) -> None:

@@ -171,6 +171,47 @@ def cmd_predict(args) -> None:
     print(f"wrote {dest} ({len(paths)} predictions)")
 
 
+def cmd_reconstruct(args) -> None:
+    """Autoencoder serving: reconstruct every image under --images through
+    the fitted encoder+decoder, write per-image reconstruction PNGs, a
+    side-by-side grid figure, and a CSV of per-image reconstruction MSE
+    (usable as an anomaly/novelty score — images unlike the training
+    distribution reconstruct poorly)."""
+    import csv
+
+    import numpy as np
+
+    from satae.api import SatAEPipeline
+    from satae.data.ingest import decode_images, scan_images
+    from satae.eval import plots
+
+    cfg = _config_from_args(args)
+    pipe = SatAEPipeline(cfg).load(args.out)
+    paths = scan_images(args.images)
+    if not paths:
+        raise FileNotFoundError(f"no images under {args.images}")
+    images = decode_images(paths, cfg.data.image_size)
+    recons = pipe.reconstruct_batched(images)
+    mse = np.mean(
+        np.square(recons - images.astype(np.float32) / 255.0),
+        axis=(1, 2, 3))
+
+    dest = Path(args.dest) if args.dest else Path(args.out) / "reconstructions"
+    dest.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+    u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
+    for p, rec in zip(paths, u8):
+        Image.fromarray(rec).save(dest / f"{Path(p).stem}_recon.png")
+    plots.reconstruction_grid(images, recons, dest / "reconstruction_grid.png")
+    with open(dest / "reconstruction_mse.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(("path", "mse"))
+        for p, e in zip(paths, mse):
+            w.writerow((str(p), f"{e:.6f}"))
+    print(f"wrote {len(paths)} reconstructions under {dest} "
+          f"(mean MSE {float(mse.mean()):.6f})")
+
+
 def cmd_export_torch(args) -> None:
     """Export the fitted checkpoints as the reference notebook's .pt files
     (AE_GLOBAL_BEST.pt / MLP_GLOBAL_BEST.pt, Report.md:714-716, 2725)."""
@@ -276,6 +317,17 @@ def build_parser() -> argparse.ArgumentParser:
     p_pred.add_argument("--csv", default=None,
                         help="destination CSV (default: OUT/predictions.csv)")
     p_pred.set_defaults(fn=cmd_predict)
+
+    p_rec = sub.add_parser("reconstruct",
+                           help="reconstruct images through the fitted "
+                                "autoencoder (PNGs + grid figure + per-image "
+                                "reconstruction-MSE CSV)")
+    common(p_rec)
+    p_rec.add_argument("--images", required=True,
+                       help="image file, flat dir, or class tree")
+    p_rec.add_argument("--dest", default=None,
+                       help="destination dir (default: OUT/reconstructions)")
+    p_rec.set_defaults(fn=cmd_reconstruct)
 
     p_exp = sub.add_parser("export-torch",
                            help="export checkpoints as reference-format .pt "

@@ -56,6 +56,29 @@ def sample_grid(images: np.ndarray, labels: np.ndarray,
     return _save(fig, path)
 
 
+def reconstruction_grid(originals: np.ndarray, recons: np.ndarray,
+                        path: str | Path, n: int = 8) -> Path:
+    """Originals (top row) vs autoencoder reconstructions (bottom row).
+    ``originals`` uint8 or [0,1] floats; ``recons`` [0,1] floats — the
+    qualitative view of the reference model's ``x_hat`` output
+    (Report.md:429-433)."""
+    n = min(n, len(originals))
+    orig = np.asarray(originals[:n])
+    if orig.dtype != np.uint8:
+        orig = np.clip(orig, 0.0, 1.0)
+    rec = np.clip(np.asarray(recons[:n]), 0.0, 1.0)
+    fig, axes = plt.subplots(2, n, figsize=(1.6 * n, 3.6))
+    axes = np.atleast_2d(axes).reshape(2, n)
+    for i in range(n):
+        axes[0, i].imshow(orig[i])
+        axes[1, i].imshow(rec[i])
+        axes[0, i].axis("off")
+        axes[1, i].axis("off")
+    axes[0, 0].set_title("original", fontsize=9, loc="left")
+    axes[1, 0].set_title("reconstruction", fontsize=9, loc="left")
+    return _save(fig, path)
+
+
 def ratio_histogram(ratios: np.ndarray, path: str | Path) -> Path:
     fig, ax = plt.subplots(figsize=(7, 4))
     ax.hist(np.asarray(ratios), bins=40)

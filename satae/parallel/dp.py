@@ -94,3 +94,25 @@ def make_dp_encode_step(mesh: Mesh, model_cfg: ModelConfig,
 
     return jax.jit(encode, in_shardings=(repl, repl, batch_sh),
                    out_shardings=batch_sh)
+
+
+def make_dp_decode_step(mesh: Mesh, model_cfg: ModelConfig,
+                        compute_dtype=jnp.float32, axis: str = "data",
+                        image_size: int = 64):
+    """Batch-sharded decoder forward (latents in, reconstructions out, both
+    sharded on the batch axis; params replicated) — the mesh counterpart of
+    :func:`satae.train.extract.make_decode_step`. Embarrassingly parallel:
+    XLA emits zero collectives."""
+    from satae.models.decoder import decoder_apply
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def decode(dec_params, dec_state, z):
+        x_hat, _ = decoder_apply(dec_params, dec_state,
+                                 z.astype(compute_dtype), train=False,
+                                 cfg=model_cfg, image_size=image_size)
+        return x_hat.astype(jnp.float32)
+
+    return jax.jit(decode, in_shardings=(repl, repl, batch_sh),
+                   out_shardings=batch_sh)

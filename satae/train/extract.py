@@ -32,6 +32,26 @@ def make_encode_step(model_cfg: ModelConfig, compute_dtype=jnp.float32):
     return encode
 
 
+def make_decode_step(model_cfg: ModelConfig, compute_dtype=jnp.float32,
+                     image_size: int = 64):
+    """Eval-mode decoder forward: latents -> reconstructed images in [0,1]
+    (float32 on return). The serving inverse of :func:`make_encode_step` —
+    the reference model's ``x_hat`` output (``forward`` returns
+    ``(x_hat, logits, z)``, Report.md:429-433) exposed standalone. Latents
+    are cast to the compute dtype at entry, matching what the decoder saw
+    during training (it consumed the encoder's compute-dtype activations)."""
+    from satae.models.decoder import decoder_apply
+
+    @jax.jit
+    def decode(dec_params, dec_state, z) -> jax.Array:
+        x_hat, _ = decoder_apply(dec_params, dec_state,
+                                 z.astype(compute_dtype), train=False,
+                                 cfg=model_cfg, image_size=image_size)
+        return x_hat.astype(jnp.float32)
+
+    return decode
+
+
 def extract_features(enc_params: Any, enc_state: Any, ds: ArrayDataset,
                      model_cfg: ModelConfig, batch_size: int = 64,
                      encode_step=None, compute_dtype=jnp.float32,
