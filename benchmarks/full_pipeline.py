@@ -112,6 +112,13 @@ def main() -> None:
     print(ev["report"])
     print(f"test accuracy (evaluate): {ev['accuracy']:.4f}")
 
+    # latent-space PCA scatter of the test split (the qualitative view
+    # behind the reference's per-class narration, Report.md:3237-3259)
+    z_test = pipe.encode(splits.test.images)
+    plots.latent_scatter(z_test, splits.test.labels,
+                         pipe.classes or [str(i) for i in range(10)],
+                         Path(args.out) / "latent_space_test.png")
+
 
 if __name__ == "__main__":
     main()

@@ -137,6 +137,13 @@ def cmd_extract(args) -> None:
                                 cfg.model, cfg.data.batch_size, step)
         np.savez(out / f"latents_{split}.npz", X=X, y=y)
         print(f"wrote {out / f'latents_{split}.npz'}  X={X.shape}")
+        if args.plot:
+            from satae.eval import plots
+            classes = pipe.classes or [str(i) for i in
+                                       range(cfg.model.num_classes)]
+            p = plots.latent_scatter(X, y, classes,
+                                     out / f"latent_space_{split}.png")
+            print(f"wrote {p}")
 
 
 def cmd_predict(args) -> None:
@@ -306,6 +313,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_ext = sub.add_parser("extract",
                            help="dump frozen-encoder latents per split")
     common(p_ext)
+    p_ext.add_argument("--plot", action="store_true",
+                       help="also save a latent-space PCA scatter per split")
     p_ext.set_defaults(fn=cmd_extract)
 
     p_pred = sub.add_parser("predict",

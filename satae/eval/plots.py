@@ -8,6 +8,9 @@ One function per reference figure (all saved, never shown — headless Agg):
   loss_curves         — train/val loss curves (Report.md:2461-2469)
   accuracy_curves     — MLP train/val accuracy curves (Report.md:2706-2722)
   confusion_display   — confusion-matrix heatmap (Report.md:3191-3195)
+plus two figures the notebook narrates but never draws:
+  reconstruction_grid — originals vs x_hat (Report.md:429-433)
+  latent_scatter      — PCA of the frozen latent space (Report.md:3237-3259)
 """
 
 from __future__ import annotations
@@ -160,6 +163,42 @@ def lr_curves(history: Dict[str, list], path: str | Path,
     ax2.set_ylabel("accuracy")
     ax2.legend()
     fig.suptitle(title)
+    return _save(fig, path)
+
+
+def latent_scatter(latents: np.ndarray, labels: np.ndarray,
+                   classes: Sequence[str], path: str | Path,
+                   max_points: int = 4000, seed: int = 0) -> Path:
+    """2-D PCA scatter of the frozen-encoder latent space, colored by class.
+
+    The qualitative view behind the reference's results narration
+    (Report.md:3237-3259 analyses which classes collapse together in the
+    latent space — e.g. Forest->SeaLake — but the notebook never plots the
+    space itself). PCA via numpy SVD on the centered latents; axes annotated
+    with explained variance so collapsed-class overlap is readable."""
+    z = np.asarray(latents, np.float64)
+    y = np.asarray(labels)
+    if len(z) > max_points:
+        idx = np.random.default_rng(seed).choice(len(z), size=max_points,
+                                                 replace=False)
+        z, y = z[idx], y[idx]
+    z = z - z.mean(axis=0)
+    # economy SVD: rows are samples, right-singular vectors are components
+    _, s, vt = np.linalg.svd(z, full_matrices=False)
+    proj = z @ vt[:2].T
+    var = s**2 / max(len(z) - 1, 1)
+    frac = var[:2] / var.sum() if var.sum() else np.zeros(2)
+    fig, ax = plt.subplots(figsize=(8, 7))
+    cmap = plt.get_cmap("tab10")
+    for c in range(len(classes)):
+        m = y == c
+        if m.any():
+            ax.scatter(proj[m, 0], proj[m, 1], s=6, alpha=0.6,
+                       color=cmap(c % 10), label=classes[c])
+    ax.set_xlabel(f"PC1 ({frac[0]:.1%} var)")
+    ax.set_ylabel(f"PC2 ({frac[1]:.1%} var)")
+    ax.set_title("Latent space (PCA)")
+    ax.legend(markerscale=2, fontsize=8, loc="best")
     return _save(fig, path)
 
 

@@ -35,6 +35,22 @@ def test_all_plots_render(tmp_path):
     assert plots.confusion_display(cm, classes, tmp_path / "cm.png").exists()
 
 
+def test_latent_scatter_renders(tmp_path):
+    """PCA scatter of latents by class: renders for normal input, the
+    subsampled (>max_points) path, and degenerate all-zero latents (the
+    explained-variance fractions must not divide by zero)."""
+    rng = np.random.default_rng(0)
+    classes = [f"c{i}" for i in range(10)]
+    z = rng.normal(size=(200, 64)).astype(np.float32)
+    y = rng.integers(0, 10, 200)
+    assert plots.latent_scatter(z, y, classes, tmp_path / "lat.png").exists()
+    assert plots.latent_scatter(z, y, classes, tmp_path / "lat_sub.png",
+                                max_points=50).exists()
+    assert plots.latent_scatter(np.zeros((20, 8), np.float32),
+                                np.zeros(20, np.int32), classes[:3],
+                                tmp_path / "lat_zero.png").exists()
+
+
 def test_calibration_ratio_scale():
     """Golden-scale check (SURVEY.md §4): the CE/MSE init ratio on EuroSAT-
     shaped data should land near the reference's ~30 (Report.md:534). The

@@ -28,11 +28,13 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
     assert "SeaLake" in report
 
     main(["extract", "--per-class", "12", "--out", out, "--seed", "0",
-          "--cache-dir", str(tmp_path / "cache")])
+          "--plot", "--cache-dir", str(tmp_path / "cache")])
     import numpy as np
     z = np.load(tmp_path / "run" / "latents_test.npz")
     n_test = 120 - int(0.7 * 120) - int(0.15 * 120)
     assert z["X"].shape == (n_test, 64) and z["y"].shape == (n_test,)
+    for split in ("train", "val", "test"):
+        assert (tmp_path / "run" / f"latent_space_{split}.png").exists()
 
 
 def test_cli_predict_images_to_csv(tmp_path):
