@@ -113,8 +113,10 @@ def main() -> None:
     print(f"test accuracy (evaluate): {ev['accuracy']:.4f}")
 
     # latent-space PCA scatter of the test split (the qualitative view
-    # behind the reference's per-class narration, Report.md:3237-3259)
-    z_test = pipe.encode(splits.test.images)
+    # behind the reference's per-class narration, Report.md:3237-3259).
+    # encode_batched reuses the fixed-chunk program evaluate() already
+    # compiled — no new input-size-dependent relay compile.
+    z_test = pipe.encode_batched(splits.test.images)
     plots.latent_scatter(z_test, splits.test.labels,
                          pipe.classes or [str(i) for i in range(10)],
                          Path(args.out) / "latent_space_test.png")

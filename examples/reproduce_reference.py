@@ -11,6 +11,8 @@ in order, producing every figure/artifact the reference produces:
  6. frozen-encoder latent extraction                 (nb cell 60/66)
  7. MLP lr grid + accuracy curves                    (nb cells 63-66)
  8. confusion matrix + classification report         (nb cells 72-73)
+ 9. reconstruction grid + latent-space PCA scatter   (narrated at
+    Report.md:3237-3259 but never drawn by the notebook)
 
 Usage:
   python examples/reproduce_reference.py --data /path/to/EuroSAT --out runs/repro
@@ -103,6 +105,16 @@ def main() -> None:
         result = pipe.evaluate(splits.test)
     plots.confusion_display(result["confusion_matrix"], splits.classes,
                             out / "confusion_matrix.png")
+    # two figures the notebook narrates but never draws: originals vs x_hat,
+    # and the latent space whose structure the report analyses. Both reuse
+    # the bulk fixed-chunk serving programs evaluate() already compiled —
+    # no new input-size-dependent relay compiles.
+    recons = pipe.reconstruct_batched(splits.test.images[:8])
+    plots.reconstruction_grid(splits.test.images[:8], recons,
+                              out / "reconstruction_grid.png")
+    plots.latent_scatter(pipe.encode_batched(splits.test.images),
+                         splits.test.labels,
+                         splits.classes, out / "latent_space_test.png")
     print(result["report"])
     log({"test_accuracy": float(result["accuracy"]),
          "reference_headline": 0.7473, **sw.report()})

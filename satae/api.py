@@ -338,6 +338,15 @@ class SatAEPipeline:
             lambda x: jnp.asarray(x, dt), t)
         return tuple(cast(t) for t in trees)
 
+    def _infer_mesh(self):
+        """The serving device mesh (``RuntimeConfig.n_devices`` set), built
+        once and shared by the encode and decode steps."""
+        if getattr(self, "_mesh", None) is None:
+            from satae.parallel import make_mesh
+            self._mesh = make_mesh(self.config.runtime.n_devices,
+                                   self.config.runtime.mesh_axis)
+        return self._mesh
+
     def _ensure_infer_steps(self) -> None:
         """Build the jit'd encode/predict steps lazily, and refresh the
         pre-cast encoder trees whenever ae_params/ae_bn_state have been
@@ -349,9 +358,9 @@ class SatAEPipeline:
             self._encode_pad = nd or 1
             self._encode_in_sharding = None
             if nd:
-                from satae.parallel import batch_sharding, make_mesh
+                from satae.parallel import batch_sharding
                 from satae.parallel.dp import make_dp_encode_step
-                mesh = make_mesh(nd, self.config.runtime.mesh_axis)
+                mesh = self._infer_mesh()
                 self._encode_step = make_dp_encode_step(
                     mesh, self.config.model, self.config.compute_dtype,
                     axis=self.config.runtime.mesh_axis)
@@ -388,12 +397,10 @@ class SatAEPipeline:
             # Pallas out for the encoder, docs/PERF.md, applies doubly to
             # the transposed convs)
             if self.config.runtime.n_devices:
-                from satae.parallel import make_mesh
                 from satae.parallel.dp import make_dp_decode_step
-                mesh = make_mesh(self.config.runtime.n_devices,
-                                 self.config.runtime.mesh_axis)
                 self._decode_step = make_dp_decode_step(
-                    mesh, self.config.model, self.config.compute_dtype,
+                    self._infer_mesh(), self.config.model,
+                    self.config.compute_dtype,
                     axis=self.config.runtime.mesh_axis,
                     image_size=self.config.data.image_size)
             else:
@@ -505,6 +512,17 @@ class SatAEPipeline:
             images, lambda z: self._proba_step(self.mlp_params,
                                                self.mlp_bn_state, z))
         return np.asarray(jnp.concatenate(probs))[:n]
+
+    def encode_batched(self, images: np.ndarray) -> np.ndarray:
+        """encode() over an arbitrarily sized image array via the bulk
+        serving path (one upload, fixed-shape chunks — no per-input-size
+        recompiles); one latent readback."""
+        self._require_fitted()
+        n = len(np.asarray(images))
+        if n == 0:
+            return np.zeros((0, self.config.model.latent_dim), np.float32)
+        zs = self._serve_batched(images, lambda z: z)
+        return np.asarray(jnp.concatenate(zs))[:n]
 
     def decode(self, latents: np.ndarray) -> np.ndarray:
         """Latents (N, latent_dim) -> reconstructed images (N, H, W, C)

@@ -207,8 +207,14 @@ def cmd_reconstruct(args) -> None:
     dest.mkdir(parents=True, exist_ok=True)
     from PIL import Image
     u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
+    root = Path(args.images)
     for p, rec in zip(paths, u8):
-        Image.fromarray(rec).save(dest / f"{Path(p).stem}_recon.png")
+        # name by the path relative to --images with separators flattened,
+        # so class trees (ClassA/img1.jpg, ClassB/img1.jpg) cannot clobber
+        # each other's reconstructions
+        rel = Path(p).relative_to(root) if root.is_dir() else Path(p).name
+        stem = "_".join(Path(rel).with_suffix("").parts)
+        Image.fromarray(rec).save(dest / f"{stem}_recon.png")
     plots.reconstruction_grid(images, recons, dest / "reconstruction_grid.png")
     with open(dest / "reconstruction_mse.csv", "w", newline="") as f:
         w = csv.writer(f)

@@ -186,8 +186,11 @@ def latent_scatter(latents: np.ndarray, labels: np.ndarray,
     # economy SVD: rows are samples, right-singular vectors are components
     _, s, vt = np.linalg.svd(z, full_matrices=False)
     proj = z @ vt[:2].T
+    if proj.shape[1] < 2:  # N=1 or 1-d latents: SVD yields one component
+        proj = np.pad(proj, ((0, 0), (0, 2 - proj.shape[1])))
     var = s**2 / max(len(z) - 1, 1)
-    frac = var[:2] / var.sum() if var.sum() else np.zeros(2)
+    frac = np.pad(var[:2], (0, max(0, 2 - len(var))))
+    frac = frac / var.sum() if var.sum() else np.zeros(2)
     fig, ax = plt.subplots(figsize=(8, 7))
     cmap = plt.get_cmap("tab10")
     for c in range(len(classes)):

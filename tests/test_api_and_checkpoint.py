@@ -81,9 +81,14 @@ def test_encode_sees_reassigned_params(raw):
     # predict_batched chains encode->MLP on device; must match predict()
     np.testing.assert_array_equal(pipe.predict_batched(imgs),
                                   pipe.predict(imgs))
+    # encode_batched (fixed-chunk bulk path) must match encode()
+    np.testing.assert_allclose(pipe.encode_batched(imgs), pipe.encode(imgs),
+                               atol=1e-6)
     # empty input: defined, empty result
     assert pipe.predict_batched(
         np.zeros((0, 32, 32, 3), np.uint8)).shape == (0,)
+    assert pipe.encode_batched(
+        np.zeros((0, 32, 32, 3), np.uint8)).shape == (0, TINY.model.latent_dim)
     # probabilities: normalized, argmax-consistent, batched path identical
     probs = pipe.predict_proba(imgs)
     assert probs.shape == (len(imgs), TINY.model.num_classes)

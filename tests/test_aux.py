@@ -49,6 +49,9 @@ def test_latent_scatter_renders(tmp_path):
     assert plots.latent_scatter(np.zeros((20, 8), np.float32),
                                 np.zeros(20, np.int32), classes[:3],
                                 tmp_path / "lat_zero.png").exists()
+    # N=1: economy SVD yields a single component; must pad, not IndexError
+    assert plots.latent_scatter(z[:1], y[:1], classes,
+                                tmp_path / "lat_one.png").exists()
 
 
 def test_calibration_ratio_scale():

@@ -159,3 +159,15 @@ def test_cli_reconstruct(tmp_path):
     assert len(rows) == 4
     for _, e in rows[1:]:
         assert 0.0 <= float(e) <= 1.0
+
+    # class-tree input: same-named files in different subdirs must yield
+    # DISTINCT reconstruction PNGs (named by flattened relative path)
+    tree = tmp_path / "tree"
+    for cls in ("ClassA", "ClassB"):
+        (tree / cls).mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                        ).save(tree / cls / "img.png")
+    main(["reconstruct", "--out", str(out), "--images", str(tree),
+          "--dest", str(tmp_path / "treedest")])
+    assert (tmp_path / "treedest" / "ClassA_img_recon.png").exists()
+    assert (tmp_path / "treedest" / "ClassB_img_recon.png").exists()
