@@ -112,6 +112,10 @@ def cmd_evaluate(args) -> None:
     plots.confusion_display(result["confusion_matrix"],
                             pipe.classes or [str(i) for i in range(10)],
                             Path(args.out) / f"confusion_{args.split}.png")
+    # persist the per-class table alongside the PNG (the pair of artifacts
+    # the reference's final cells produce, Report.md:3189-3233)
+    (Path(args.out) / f"classification_report_{args.split}.txt").write_text(
+        result["report"])
 
 
 def cmd_extract(args) -> None:

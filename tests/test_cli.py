@@ -26,6 +26,10 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
     assert "accuracy:" in report
     # class names restored from classes.json, not numeric ids
     assert "SeaLake" in report
+    # the report text is persisted alongside the confusion PNG
+    saved = (tmp_path / "run" / "classification_report_test.txt").read_text()
+    assert "weighted avg" in saved and "SeaLake" in saved
+    assert (tmp_path / "run" / "confusion_test.png").exists()
 
     main(["extract", "--per-class", "12", "--out", out, "--seed", "0",
           "--plot", "--cache-dir", str(tmp_path / "cache")])
