@@ -243,6 +243,13 @@ def cmd_export_torch(args) -> None:
 
 
 def cmd_report(args) -> None:
+    """Re-render every figure derivable from a run dir's saved artifacts
+    (no model evaluation): the grid heatmap from validation_losses.json and
+    latent-space PCA scatters from any latents_{split}.npz `extract` left."""
+    import json
+
+    import numpy as np
+
     from satae.eval import plots
 
     out = Path(args.out)
@@ -252,6 +259,19 @@ def cmd_report(args) -> None:
         p = plots.gridsearch_heatmap(load_grid_results(results_file),
                                      out / "gridsearch_heatmap.png")
         print(f"wrote {p}")
+    classes_file = out / "classes.json"
+    classes = (json.loads(classes_file.read_text())
+               if classes_file.exists() else None)
+    for split in ("train", "val", "test"):
+        npz = out / f"latents_{split}.npz"
+        if npz.exists():
+            d = np.load(npz)
+            cl = classes or [str(i) for i in
+                             range(int(d["y"].max()) + 1 if len(d["y"])
+                                   else 1)]
+            p = plots.latent_scatter(d["X"], d["y"], cl,
+                                     out / f"latent_space_{split}.png")
+            print(f"wrote {p}")
 
 
 def build_parser() -> argparse.ArgumentParser:

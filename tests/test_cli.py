@@ -41,6 +41,26 @@ def test_cli_fit_then_evaluate(tmp_path, capsys):
         assert (tmp_path / "run" / f"latent_space_{split}.png").exists()
 
 
+def test_cli_report_renders_from_artifacts(tmp_path):
+    """`satae report` re-renders figures from saved artifacts alone:
+    latent scatters from latents_{split}.npz + classes.json (no model)."""
+    import json
+
+    import numpy as np
+
+    run = tmp_path / "run"
+    run.mkdir()
+    rng = np.random.default_rng(0)
+    np.savez(run / "latents_test.npz",
+             X=rng.normal(size=(40, 64)).astype(np.float32),
+             y=rng.integers(0, 10, 40))
+    (run / "classes.json").write_text(json.dumps(
+        [f"c{i}" for i in range(10)]))
+    main(["report", "--out", str(run)])
+    assert (run / "latent_space_test.png").exists()
+    assert not (run / "latent_space_train.png").exists()  # no npz, no plot
+
+
 def test_cli_predict_images_to_csv(tmp_path):
     """Serving surface: `satae predict --images DIR` classifies a directory
     of image files against saved checkpoints and writes path,id,name CSV."""
