@@ -68,21 +68,32 @@ class SatAEPipeline:
     # -- training ----------------------------------------------------------
 
     def fit(self, raw: Optional[RawDataset] = None, *, grid: bool = False,
-            log=None, out_dir: Optional[str] = None) -> FitSummary:
+            log=None, out_dir: Optional[str] = None,
+            reuse_ae: bool = False) -> FitSummary:
         """Run the full pipeline. ``grid=True`` reproduces the reference's
         45-config AE sweep + 11-lr MLP sweep; ``grid=False`` trains only the
-        reference-optimal config (alpha=35, lr=5e-3; MLP lr=1e-4)."""
+        reference-optimal config (alpha=35, lr=5e-3; MLP lr=1e-4).
+
+        ``reuse_ae=True`` skips autoencoder training and starts from the
+        pipeline's already-loaded ``ae_params`` (via :meth:`load`,
+        :meth:`load_ae`, or :meth:`load_torch`): extraction + MLP training
+        (+ the 11-lr grid with ``grid=True``) + evaluation only — the
+        reference notebook's own phase-2 restart, which reloads
+        AE_GLOBAL_BEST.pt and trains the MLP standalone
+        (Report.md:2590-2733)."""
         cfg = self.config
         if cfg.runtime.debug_nans:
             from satae.utils.profiling import debug_mode
             with debug_mode(nans=True):
                 return self._fit_inner(raw, grid=grid, log=log,
-                                       out_dir=out_dir)
-        return self._fit_inner(raw, grid=grid, log=log, out_dir=out_dir)
+                                       out_dir=out_dir, reuse_ae=reuse_ae)
+        return self._fit_inner(raw, grid=grid, log=log, out_dir=out_dir,
+                               reuse_ae=reuse_ae)
 
     def _fit_inner(self, raw: Optional[RawDataset] = None, *,
                    grid: bool = False, log=None,
-                   out_dir: Optional[str] = None) -> FitSummary:
+                   out_dir: Optional[str] = None,
+                   reuse_ae: bool = False) -> FitSummary:
         import time
 
         cfg = self.config
@@ -106,7 +117,13 @@ class SatAEPipeline:
         # once the winner checkpoint is durably written (end of fit)
         _stage("data")
 
-        if grid:
+        if reuse_ae:
+            if self.ae_params is None or self.ae_bn_state is None:
+                raise ValueError(
+                    "reuse_ae=True requires a loaded autoencoder — call "
+                    "load()/load_ae()/load_torch() first")
+            ae_res, ae_hp = None, {"reused": True}
+        elif grid:
             if cfg.runtime.n_devices:
                 # config-parallel sweep over the mesh: one grid config per
                 # mesh row per round; grid_dp>1 adds a data axis so each
@@ -166,7 +183,8 @@ class SatAEPipeline:
                 seed=cfg.runtime.seed, compute_dtype=dtype, log=log,
                 mesh=mesh, **ckpt_kw)
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
-        self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
+        if ae_res is not None:
+            self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
         _stage("ae")
 
         # Frozen-encoder latent extraction (Report.md:2590-2609). With a
@@ -251,9 +269,10 @@ class SatAEPipeline:
                                         Xte))
         test_acc = float((test_preds == yte).mean())
         _stage("eval")
-        summary = FitSummary(ae_res.best_val_loss, ae_hp,
-                             mlp_res.best_val_acc, mlp_hp, test_acc,
-                             stage_seconds=dict(stage_t))
+        summary = FitSummary(
+            ae_res.best_val_loss if ae_res is not None else None, ae_hp,
+            mlp_res.best_val_acc, mlp_hp, test_acc,
+            stage_seconds=dict(stage_t))
         if out_dir:
             if not grid:
                 # grid sweeps already checkpointed their winners (SweepBook /
@@ -264,11 +283,18 @@ class SatAEPipeline:
                 # written for grid fits too: load() and evaluate() need
                 # classes.json regardless of the engine that trained.
                 from satae.train.sweep_common import save_best_checkpoint
-                save_best_checkpoint(out_dir, "ae_global_best", self.ae_params,
-                                     self.ae_bn_state, ae_hp, ae_res)
+                if ae_res is not None:
+                    save_best_checkpoint(out_dir, "ae_global_best",
+                                         self.ae_params, self.ae_bn_state,
+                                         ae_hp, ae_res)
                 save_best_checkpoint(out_dir, "mlp_global_best",
                                      self.mlp_params, self.mlp_bn_state,
                                      mlp_hp, mlp_res)
+            if reuse_ae:
+                # make out_dir a complete, load()-able run dir even when the
+                # encoder came from elsewhere (e.g. a torch AE_GLOBAL_BEST.pt)
+                save_model(Path(out_dir) / "ae_global_best.msgpack",
+                           self.ae_params, self.ae_bn_state, meta=dict(ae_hp))
                 if inflight is not None:
                     # the AE winner is durably checkpointed NOW — only here
                     # is it safe to drop the in-flight resume state (doing
@@ -283,7 +309,7 @@ class SatAEPipeline:
                 (Path(out_dir) / "classes.json").write_text(
                     json.dumps(list(self.classes)))
             from satae.eval import plots
-            if ae_res.history:
+            if ae_res is not None and ae_res.history:
                 plots.loss_curves(ae_res.history,
                                   Path(out_dir) / "ae_best_curves.png",
                                   title=f"Best AE ({ae_hp})")
@@ -608,6 +634,25 @@ class SatAEPipeline:
             (Path(out_dir) / "classes.json").write_text(
                 json.dumps(list(self.classes)))
 
+    def load_ae(self, out_dir: str) -> "SatAEPipeline":
+        """Load ONLY the autoencoder checkpoint from a run dir — for
+        ``fit(reuse_ae=True)`` flows where no MLP has been trained yet
+        (the reference's phase-2 restart, Report.md:2590-2595)."""
+        ae_file = Path(out_dir) / "ae_global_best.msgpack"
+        if not ae_file.exists():
+            raise FileNotFoundError(f"no AE checkpoint at {ae_file}")
+        cfg = self.config
+        ae_p, ae_s = supervised_ae_init(jax.random.PRNGKey(0), cfg.model,
+                                        in_ch=cfg.data.channels,
+                                        image_size=cfg.data.image_size)
+        self.ae_params, self.ae_bn_state = load_model(ae_file, ae_p, ae_s)
+        classes_file = Path(out_dir) / "classes.json"
+        if classes_file.exists():
+            self.classes = tuple(json.loads(classes_file.read_text()))
+        self._encode_step = None
+        self._decode_step = None
+        return self
+
     def load(self, out_dir: str) -> "SatAEPipeline":
         ae_file = Path(out_dir) / "ae_global_best.msgpack"
         mlp_file = Path(out_dir) / "mlp_global_best.msgpack"
@@ -653,16 +698,21 @@ class SatAEPipeline:
         save_torch_mlp(str(dest / "MLP_GLOBAL_BEST.pt"), self.mlp_params,
                        self.mlp_bn_state, cfg.model)
 
-    def load_torch(self, ae_pt: str, mlp_pt: str) -> "SatAEPipeline":
+    def load_torch(self, ae_pt: str,
+                   mlp_pt: Optional[str] = None) -> "SatAEPipeline":
         """Load reference-notebook ``.pt`` checkpoints (Report.md:714-716,
         2725) directly into the pipeline, ready for encode/predict/evaluate.
-        The inverse of :meth:`export_torch`."""
+        The inverse of :meth:`export_torch`. With ``mlp_pt=None`` only the
+        autoencoder is loaded — pair with ``fit(reuse_ae=True)`` to train
+        the MLP stage in satae on a notebook-trained encoder."""
         from satae.io.torch_import import load_torch_mlp, load_torch_sae
         cfg = self.config
         self.ae_params, self.ae_bn_state = load_torch_sae(
             ae_pt, cfg.model, in_ch=cfg.data.channels,
             image_size=cfg.data.image_size)
-        self.mlp_params, self.mlp_bn_state = load_torch_mlp(mlp_pt, cfg.model)
+        if mlp_pt is not None:
+            self.mlp_params, self.mlp_bn_state = load_torch_mlp(mlp_pt,
+                                                                cfg.model)
         self._encode_step = None
         self._predict_step = None
         self._proba_step = None

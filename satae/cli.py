@@ -55,8 +55,14 @@ def cmd_fit(args) -> None:
 
     cfg = _config_from_args(args)
     pipe = SatAEPipeline(cfg)
+    if args.ae_torch:
+        # notebook-user migration: start from a reference AE_GLOBAL_BEST.pt
+        pipe.load_torch(args.ae_torch)
+    elif args.reuse_ae:
+        pipe.load_ae(args.out)
     log = MetricsLogger(Path(args.out) / "metrics.jsonl")
-    summary = pipe.fit(grid=args.grid, out_dir=args.out, log=log)
+    summary = pipe.fit(grid=args.grid, out_dir=args.out, log=log,
+                       reuse_ae=args.reuse_ae or bool(args.ae_torch))
     print(dump_strict_json(dataclasses.asdict(summary), indent=2))
 
     results_file = Path(args.out) / "validation_losses.json"
@@ -327,6 +333,14 @@ def build_parser() -> argparse.ArgumentParser:
     p_fit.add_argument("--save-curves", action="store_true",
                        help="save per-config curve PNGs under OUT/curves/ "
                             "(the reference's per-LR figures)")
+    p_fit.add_argument("--reuse-ae", action="store_true",
+                       help="skip AE training: reuse OUT's existing "
+                            "ae_global_best.msgpack and run extraction + "
+                            "MLP training only (the notebook's phase-2 "
+                            "restart)")
+    p_fit.add_argument("--ae-torch", default=None, metavar="PT",
+                       help="like --reuse-ae but start from a reference "
+                            "AE_GLOBAL_BEST.pt torch checkpoint")
     p_fit.set_defaults(fn=cmd_fit)
 
     p_cal = sub.add_parser("calibrate", help="CE/MSE loss-scale experiment")

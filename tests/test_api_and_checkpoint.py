@@ -54,6 +54,48 @@ def test_fit_encode_predict_save_load(raw, tmp_path):
     assert json.loads((tmp_path / "fit_summary.json").read_text())
 
 
+def test_fit_reuse_ae(raw, tmp_path):
+    """fit(reuse_ae=True): the notebook's phase-2 restart (reload best AE,
+    train only the MLP stage, Report.md:2590-2733). The encoder must come
+    through untouched; the out dir must be fully load()-able."""
+    src = tmp_path / "src"
+    pipe = SatAEPipeline(TINY)
+    pipe.fit(raw, grid=False, out_dir=str(src))
+    z_before = pipe.encode(raw.images[:8])
+
+    # restart: AE only, then MLP stage on top
+    dst = tmp_path / "dst"
+    pipe2 = SatAEPipeline(TINY).load_ae(str(src))
+    with pytest.raises(FileNotFoundError):
+        SatAEPipeline(TINY).load_ae(str(tmp_path / "nope"))
+    summary = pipe2.fit(raw, reuse_ae=True, out_dir=str(dst))
+    assert summary.ae_val_loss is None
+    assert summary.ae_hparams == {"reused": True}
+    assert 0.0 <= summary.test_acc <= 1.0
+    assert summary.stage_seconds["ae"] < 5.0  # skipped, not retrained
+    # encoder untouched: identical latents
+    np.testing.assert_allclose(pipe2.encode(raw.images[:8]), z_before,
+                               atol=1e-6)
+    # dst is a complete run dir (AE re-saved alongside the new MLP)
+    pipe3 = SatAEPipeline(TINY).load(str(dst))
+    np.testing.assert_array_equal(pipe3.predict(raw.images[:8]),
+                                  pipe2.predict(raw.images[:8]))
+
+    # reuse without a loaded AE is an explicit error
+    with pytest.raises(ValueError, match="reuse_ae"):
+        SatAEPipeline(TINY).fit(raw, reuse_ae=True)
+
+    # grid variant runs the MLP lr grid only (no validation_losses.json
+    # from an AE sweep, but an mlp store + winner)
+    dst2 = tmp_path / "dst2"
+    pipe4 = SatAEPipeline(TINY).load_ae(str(src))
+    s4 = pipe4.fit(raw, grid=True, reuse_ae=True, out_dir=str(dst2))
+    assert s4.ae_hparams == {"reused": True}
+    assert (dst2 / "mlp_global_best.msgpack").exists()
+    assert (dst2 / "ae_global_best.msgpack").exists()
+    assert not (dst2 / "validation_losses.json").exists()
+
+
 def test_encode_sees_reassigned_params(raw):
     """Directly reassigning ae_params/ae_bn_state after a first encode()
     must take effect (the pre-cast tree cache once served stale weights)."""

@@ -171,3 +171,48 @@ def test_pt_file_save_then_reference_loaders(tmp_path):
         np.asarray(a, np.float32), b), mp, mp2)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a, np.float32), b), ms, ms2)
+
+
+def test_torch_ae_to_satae_mlp_stage(tmp_path):
+    """The notebook-user migration flow: a reference AE_GLOBAL_BEST.pt (AE
+    only, no MLP yet — the notebook's state after its phase-1 grid,
+    Report.md:714-716) loads via load_torch(ae_pt) and fit(reuse_ae=True)
+    trains the MLP stage on that frozen encoder."""
+    from satae.api import SatAEPipeline
+    from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
+                              PipelineConfig, RuntimeConfig)
+    from satae.data.ingest import RawDataset
+    from satae.data.synthetic import make_synthetic_eurosat
+
+    cfg = PipelineConfig(
+        data=DataConfig(per_class=24, image_size=IMG, batch_size=32),
+        model=CFG,
+        ae=AETrainConfig(alphas=(35.0,), learning_rates=(2e-3,),
+                         max_epochs=2, patience=15),
+        mlp=MLPTrainConfig(learning_rates=(1e-3,), epochs=2),
+        runtime=RuntimeConfig(seed=0))
+    params, state = _randomized_sae_trees(seed=11)
+    ae_pt = tmp_path / "AE_GLOBAL_BEST.pt"
+    save_torch_sae(str(ae_pt), params, state, CFG, image_size=IMG)
+
+    imgs, labels, classes = make_synthetic_eurosat(per_class=24,
+                                                   image_size=IMG, seed=0)
+    raw = RawDataset(imgs, labels, classes)
+    pipe = SatAEPipeline(cfg).load_torch(str(ae_pt))  # AE only
+    assert pipe.mlp_params is None
+    out = tmp_path / "run"
+    summary = pipe.fit(raw, reuse_ae=True, out_dir=str(out))
+    assert summary.ae_hparams == {"reused": True}
+    assert 0.0 <= summary.test_acc <= 1.0
+    # the imported encoder trees survived fit untouched (bit-identical to
+    # the .pt contents)
+    p2, s2 = load_torch_sae(str(ae_pt), CFG, image_size=IMG)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        pipe.ae_params, p2)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        pipe.ae_bn_state, s2)
+    # and the run dir serves end to end
+    preds = SatAEPipeline(cfg).load(str(out)).predict(imgs[:6])
+    assert preds.shape == (6,)
