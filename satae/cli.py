@@ -182,9 +182,15 @@ def cmd_predict(args) -> None:
     dest = Path(args.csv) if args.csv else Path(args.out) / "predictions.csv"
     with open(dest, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(("path", "class_id", "class_name", "confidence"))
-        for p, c, pr in zip(paths, preds, conf):
-            w.writerow((str(p), int(c), classes[int(c)], f"{pr:.4f}"))
+        hdr = ["path", "class_id", "class_name", "confidence"]
+        if args.proba:
+            hdr += [f"p_{name}" for name in classes]
+        w.writerow(hdr)
+        for i, (p, c, pr) in enumerate(zip(paths, preds, conf)):
+            row = [str(p), int(c), classes[int(c)], f"{pr:.4f}"]
+            if args.proba:
+                row += [f"{q:.4f}" for q in probs[i]]
+            w.writerow(row)
     print(f"wrote {dest} ({len(paths)} predictions)")
 
 
@@ -369,6 +375,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="image file, flat dir, or class tree")
     p_pred.add_argument("--csv", default=None,
                         help="destination CSV (default: OUT/predictions.csv)")
+    p_pred.add_argument("--proba", action="store_true",
+                        help="add one per-class probability column per class")
     p_pred.set_defaults(fn=cmd_predict)
 
     p_rec = sub.add_parser("reconstruct",

@@ -115,6 +115,20 @@ def test_cli_predict_images_to_csv(tmp_path):
         [np.asarray(Image.open(p)) for p in srcs]))
     assert [int(r[1]) for r in rows[1:]] == [int(c) for c in direct]
 
+    # --proba adds one normalized probability column per class, with the
+    # confidence column equal to the row max
+    main(["predict", "--out", str(out), "--images", str(imgdir), "--proba",
+          "--csv", str(out / "proba.csv")])
+    with open(out / "proba.csv", newline="") as f:
+        prows = list(csv.reader(f))
+    assert prows[0] == (["path", "class_id", "class_name", "confidence"]
+                        + [f"p_{c}" for c in EUROSAT_CLASSES])
+    for r in prows[1:]:
+        ps = [float(x) for x in r[4:]]
+        assert abs(sum(ps) - 1.0) < 1e-2  # 4-decimal rounding
+        assert abs(max(ps) - float(r[3])) < 1e-3
+        assert int(np.argmax(ps)) == int(r[1])
+
 
 @pytest.mark.parametrize("aug_rng", ["threefry", "rbg"])
 def test_cli_calibrate(tmp_path, capsys, aug_rng):
