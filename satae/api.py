@@ -290,11 +290,6 @@ class SatAEPipeline:
                 save_best_checkpoint(out_dir, "mlp_global_best",
                                      self.mlp_params, self.mlp_bn_state,
                                      mlp_hp, mlp_res)
-            if reuse_ae:
-                # make out_dir a complete, load()-able run dir even when the
-                # encoder came from elsewhere (e.g. a torch AE_GLOBAL_BEST.pt)
-                save_model(Path(out_dir) / "ae_global_best.msgpack",
-                           self.ae_params, self.ae_bn_state, meta=dict(ae_hp))
                 if inflight is not None:
                     # the AE winner is durably checkpointed NOW — only here
                     # is it safe to drop the in-flight resume state (doing
@@ -302,6 +297,11 @@ class SatAEPipeline:
                     # a kill during extract/mlp, losing the whole AE run)
                     from satae.io.checkpoint import clear_train_state
                     clear_train_state(inflight)
+            if reuse_ae:
+                # make out_dir a complete, load()-able run dir even when the
+                # encoder came from elsewhere (e.g. a torch AE_GLOBAL_BEST.pt)
+                save_model(Path(out_dir) / "ae_global_best.msgpack",
+                           self.ae_params, self.ae_bn_state, meta=dict(ae_hp))
             from satae.io.checkpoint import dump_strict_json
             (Path(out_dir) / "fit_summary.json").write_text(
                 dump_strict_json(dataclasses.asdict(summary), indent=2))
