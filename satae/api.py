@@ -37,7 +37,7 @@ BEST_MLP_LR = 1e-4
 
 @dataclasses.dataclass
 class FitSummary:
-    ae_val_loss: float
+    ae_val_loss: Optional[float]  # None for reuse_ae fits (no AE training)
     ae_hparams: Dict[str, float]
     mlp_val_acc: float
     mlp_hparams: Dict[str, float]
@@ -297,9 +297,14 @@ class SatAEPipeline:
                     # a kill during extract/mlp, losing the whole AE run)
                     from satae.io.checkpoint import clear_train_state
                     clear_train_state(inflight)
-            if reuse_ae:
-                # make out_dir a complete, load()-able run dir even when the
-                # encoder came from elsewhere (e.g. a torch AE_GLOBAL_BEST.pt)
+            if reuse_ae and not (Path(out_dir)
+                                 / "ae_global_best.msgpack").exists():
+                # make out_dir a complete, load()-able run dir when the
+                # encoder came from elsewhere (e.g. a torch
+                # AE_GLOBAL_BEST.pt). Never overwrite an existing checkpoint:
+                # the same-dir --reuse-ae flow would clobber the winner's
+                # selection meta (alpha/lr/best_val_loss/diverged) that
+                # SweepBook's resume protection reads back.
                 save_model(Path(out_dir) / "ae_global_best.msgpack",
                            self.ae_params, self.ae_bn_state, meta=dict(ae_hp))
             from satae.io.checkpoint import dump_strict_json
@@ -468,7 +473,7 @@ class SatAEPipeline:
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Images -> predicted class ids, through encoder + MLP."""
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         z = self.encode(images)
         if len(z) == 0:
             return np.zeros((0,), np.int32)
@@ -482,7 +487,7 @@ class SatAEPipeline:
         (N, num_classes) float32. The serving confidence surface — no
         reference counterpart (the notebook only argmaxes,
         Report.md:3179-3184)."""
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         z = self.encode(images)
         if len(z) == 0:
             return np.zeros((0, self.config.model.num_classes), np.float32)
@@ -518,7 +523,7 @@ class SatAEPipeline:
     def predict_batched(self, images: np.ndarray) -> np.ndarray:
         """predict() over an arbitrarily sized image array via the bulk
         serving path (:meth:`_serve_batched`); one prediction readback."""
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         n = len(np.asarray(images))
         if n == 0:
             return np.zeros((0,), np.int32)
@@ -530,7 +535,7 @@ class SatAEPipeline:
     def predict_proba_batched(self, images: np.ndarray) -> np.ndarray:
         """predict_proba() over an arbitrarily sized image array via the
         bulk serving path; one probability readback."""
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         n = len(np.asarray(images))
         if n == 0:
             return np.zeros((0, self.config.model.num_classes), np.float32)
@@ -625,7 +630,7 @@ class SatAEPipeline:
     # -- persistence -------------------------------------------------------
 
     def save(self, out_dir: str) -> None:
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         save_model(Path(out_dir) / "ae_global_best.msgpack", self.ae_params,
                    self.ae_bn_state)
         save_model(Path(out_dir) / "mlp_global_best.msgpack", self.mlp_params,
@@ -687,7 +692,7 @@ class SatAEPipeline:
         reference notebook saves (Report.md:714-716, 2725) — strict-loadable
         by its torch model classes. See satae/io/torch_export.py for the
         layout conversions."""
-        self._require_fitted()
+        self._require_fitted(mlp=True)
         from satae.io.torch_export import save_torch_mlp, save_torch_sae
         dest = Path(dest_dir)
         dest.mkdir(parents=True, exist_ok=True)
@@ -719,9 +724,17 @@ class SatAEPipeline:
         self._decode_step = None
         return self
 
-    def _require_fitted(self) -> None:
+    def _require_fitted(self, mlp: bool = False) -> None:
+        """``mlp=True`` for surfaces that classify: an AE-only pipeline
+        (load_ae / load_torch with mlp_pt omitted) supports
+        encode/decode/reconstruct but not predict/evaluate/export."""
         if self.ae_params is None:
             raise RuntimeError("pipeline is not fitted — call fit() or load()")
+        if mlp and self.mlp_params is None:
+            raise RuntimeError(
+                "no classifier: only the autoencoder is loaded (load_ae / "
+                "AE-only load_torch) — run fit(reuse_ae=True) to train the "
+                "MLP stage, or load a full checkpoint")
 
 
 # -- module-level conveniences ---------------------------------------------

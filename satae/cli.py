@@ -184,10 +184,15 @@ def cmd_predict(args) -> None:
         w = csv.writer(f)
         hdr = ["path", "class_id", "class_name", "confidence"]
         if args.proba:
-            hdr += [f"p_{name}" for name in classes]
+            # column names track the PROBABILITY width, not len(classes):
+            # a run fitted on a class subset must still emit a rectangular
+            # CSV (extra heads fall back to numeric column names)
+            hdr += [f"p_{classes[j]}" if j < len(classes) else f"p_{j}"
+                    for j in range(probs.shape[1])]
         w.writerow(hdr)
         for i, (p, c, pr) in enumerate(zip(paths, preds, conf)):
-            row = [str(p), int(c), classes[int(c)], f"{pr:.4f}"]
+            name = classes[int(c)] if int(c) < len(classes) else str(int(c))
+            row = [str(p), int(c), name, f"{pr:.4f}"]
             if args.proba:
                 row += [f"{q:.4f}" for q in probs[i]]
             w.writerow(row)
@@ -225,12 +230,14 @@ def cmd_reconstruct(args) -> None:
     u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
     root = Path(args.images)
     for p, rec in zip(paths, u8):
-        # name by the path relative to --images with separators flattened,
-        # so class trees (ClassA/img1.jpg, ClassB/img1.jpg) cannot clobber
-        # each other's reconstructions
+        # mirror the source layout relative to --images under dest, so
+        # class trees (ClassA/img1.jpg, ClassB/img1.jpg) can never clobber
+        # each other's reconstructions (flattening with separators is not
+        # injective: A_B/c and A/B_c would collide)
         rel = Path(p).relative_to(root) if root.is_dir() else Path(p).name
-        stem = "_".join(Path(rel).with_suffix("").parts)
-        Image.fromarray(rec).save(dest / f"{stem}_recon.png")
+        target = dest / Path(rel).with_suffix("")
+        target.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rec).save(target.parent / f"{target.name}_recon.png")
     plots.reconstruction_grid(images, recons, dest / "reconstruction_grid.png")
     with open(dest / "reconstruction_mse.csv", "w", newline="") as f:
         w = csv.writer(f)

@@ -85,6 +85,27 @@ def test_fit_reuse_ae(raw, tmp_path):
     with pytest.raises(ValueError, match="reuse_ae"):
         SatAEPipeline(TINY).fit(raw, reuse_ae=True)
 
+    # AE-only pipelines: encode works, classifying surfaces raise a clear
+    # error (not an opaque None-tree crash inside jit)
+    ae_only = SatAEPipeline(TINY).load_ae(str(src))
+    assert ae_only.encode(raw.images[:4]).shape == (4, TINY.model.latent_dim)
+    for call in (lambda: ae_only.predict(raw.images[:4]),
+                 lambda: ae_only.predict_proba(raw.images[:4]),
+                 lambda: ae_only.predict_batched(raw.images[:4]),
+                 lambda: ae_only.save(str(tmp_path / "x")),
+                 lambda: ae_only.export_torch(str(tmp_path / "x"))):
+        with pytest.raises(RuntimeError, match="no classifier"):
+            call()
+
+    # same-dir reuse (the CLI --reuse-ae default) must NOT clobber the
+    # winner's selection meta in ae_global_best.json
+    meta_before = json.loads((src / "ae_global_best.json").read_text())
+    assert "alpha" in meta_before
+    SatAEPipeline(TINY).load_ae(str(src)).fit(raw, reuse_ae=True,
+                                              out_dir=str(src))
+    assert json.loads((src / "ae_global_best.json").read_text()) \
+        == meta_before
+
     # grid variant runs the MLP lr grid only (no validation_losses.json
     # from an AE sweep, but an mlp store + winner)
     dst2 = tmp_path / "dst2"

@@ -161,13 +161,15 @@ def test_cli_reconstruct(tmp_path):
         assert 0.0 <= float(e) <= 1.0
 
     # class-tree input: same-named files in different subdirs must yield
-    # DISTINCT reconstruction PNGs (named by flattened relative path)
+    # DISTINCT reconstruction PNGs (source layout mirrored under dest —
+    # flattened names would collide for A_B/c vs A/B_c)
     tree = tmp_path / "tree"
-    for cls in ("ClassA", "ClassB"):
+    for cls in ("ClassA", "ClassB", "ClassA_img"):
         (tree / cls).mkdir(parents=True)
         Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
                         ).save(tree / cls / "img.png")
     main(["reconstruct", "--out", str(out), "--images", str(tree),
           "--dest", str(tmp_path / "treedest")])
-    assert (tmp_path / "treedest" / "ClassA_img_recon.png").exists()
-    assert (tmp_path / "treedest" / "ClassB_img_recon.png").exists()
+    assert (tmp_path / "treedest" / "ClassA" / "img_recon.png").exists()
+    assert (tmp_path / "treedest" / "ClassB" / "img_recon.png").exists()
+    assert (tmp_path / "treedest" / "ClassA_img" / "img_recon.png").exists()
