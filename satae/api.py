@@ -185,6 +185,7 @@ class SatAEPipeline:
             ae_hp = {"alpha": BEST_ALPHA, "lr": BEST_AE_LR}
         if ae_res is not None:
             self.ae_params, self.ae_bn_state = ae_res.params, ae_res.bn_state
+            self._ae_src_dir = None  # freshly trained, no load provenance
         _stage("ae")
 
         # Frozen-encoder latent extraction (Report.md:2590-2609). With a
@@ -297,14 +298,17 @@ class SatAEPipeline:
                     # a kill during extract/mlp, losing the whole AE run)
                     from satae.io.checkpoint import clear_train_state
                     clear_train_state(inflight)
-            if reuse_ae and not (Path(out_dir)
-                                 / "ae_global_best.msgpack").exists():
+            same_src = (getattr(self, "_ae_src_dir", None)
+                        == str(Path(out_dir).resolve()))
+            if reuse_ae and not same_src:
                 # make out_dir a complete, load()-able run dir when the
-                # encoder came from elsewhere (e.g. a torch
-                # AE_GLOBAL_BEST.pt). Never overwrite an existing checkpoint:
-                # the same-dir --reuse-ae flow would clobber the winner's
-                # selection meta (alpha/lr/best_val_loss/diverged) that
-                # SweepBook's resume protection reads back.
+                # encoder came from elsewhere (a torch AE_GLOBAL_BEST.pt or
+                # another run dir) — even overwriting a stale checkpoint, so
+                # the dir's AE always matches the MLP just trained on it.
+                # ONLY the same-dir flow skips the save: there the file IS
+                # the loaded encoder, and rewriting it would clobber the
+                # winner's selection meta (alpha/lr/best_val_loss/diverged)
+                # that SweepBook's resume protection reads back.
                 save_model(Path(out_dir) / "ae_global_best.msgpack",
                            self.ae_params, self.ae_bn_state, meta=dict(ae_hp))
             from satae.io.checkpoint import dump_strict_json
@@ -630,11 +634,16 @@ class SatAEPipeline:
     # -- persistence -------------------------------------------------------
 
     def save(self, out_dir: str) -> None:
-        self._require_fitted(mlp=True)
+        """Persist the loaded models as msgpack checkpoints. AE-only
+        pipelines (load_ae / AE-only load_torch) save just the autoencoder
+        — the native-format conversion leg of the migration flows; reload
+        with :meth:`load_ae` (full :meth:`load` requires both files)."""
+        self._require_fitted()
         save_model(Path(out_dir) / "ae_global_best.msgpack", self.ae_params,
                    self.ae_bn_state)
-        save_model(Path(out_dir) / "mlp_global_best.msgpack", self.mlp_params,
-                   self.mlp_bn_state)
+        if self.mlp_params is not None:
+            save_model(Path(out_dir) / "mlp_global_best.msgpack",
+                       self.mlp_params, self.mlp_bn_state)
         if self.classes:
             (Path(out_dir) / "classes.json").write_text(
                 json.dumps(list(self.classes)))
@@ -651,6 +660,7 @@ class SatAEPipeline:
                                         in_ch=cfg.data.channels,
                                         image_size=cfg.data.image_size)
         self.ae_params, self.ae_bn_state = load_model(ae_file, ae_p, ae_s)
+        self._ae_src_dir = str(Path(out_dir).resolve())
         classes_file = Path(out_dir) / "classes.json"
         if classes_file.exists():
             self.classes = tuple(json.loads(classes_file.read_text()))
@@ -677,6 +687,7 @@ class SatAEPipeline:
             Path(out_dir) / "ae_global_best.msgpack", ae_p, ae_s)
         self.mlp_params, self.mlp_bn_state = load_model(
             Path(out_dir) / "mlp_global_best.msgpack", mlp_p, mlp_s)
+        self._ae_src_dir = str(Path(out_dir).resolve())
         classes_file = Path(out_dir) / "classes.json"
         if classes_file.exists():
             self.classes = tuple(json.loads(classes_file.read_text()))
@@ -690,9 +701,10 @@ class SatAEPipeline:
         """Write the fitted models as reference-format ``.pt`` state_dicts —
         ``AE_GLOBAL_BEST.pt`` + ``MLP_GLOBAL_BEST.pt``, the exact files the
         reference notebook saves (Report.md:714-716, 2725) — strict-loadable
-        by its torch model classes. See satae/io/torch_export.py for the
-        layout conversions."""
-        self._require_fitted(mlp=True)
+        by its torch model classes. AE-only pipelines export just
+        ``AE_GLOBAL_BEST.pt`` (the notebook's own mid-pipeline state). See
+        satae/io/torch_export.py for the layout conversions."""
+        self._require_fitted()
         from satae.io.torch_export import save_torch_mlp, save_torch_sae
         dest = Path(dest_dir)
         dest.mkdir(parents=True, exist_ok=True)
@@ -700,8 +712,9 @@ class SatAEPipeline:
         save_torch_sae(str(dest / "AE_GLOBAL_BEST.pt"), self.ae_params,
                        self.ae_bn_state, cfg.model,
                        image_size=cfg.data.image_size)
-        save_torch_mlp(str(dest / "MLP_GLOBAL_BEST.pt"), self.mlp_params,
-                       self.mlp_bn_state, cfg.model)
+        if self.mlp_params is not None:
+            save_torch_mlp(str(dest / "MLP_GLOBAL_BEST.pt"), self.mlp_params,
+                           self.mlp_bn_state, cfg.model)
 
     def load_torch(self, ae_pt: str,
                    mlp_pt: Optional[str] = None) -> "SatAEPipeline":
@@ -715,6 +728,7 @@ class SatAEPipeline:
         self.ae_params, self.ae_bn_state = load_torch_sae(
             ae_pt, cfg.model, in_ch=cfg.data.channels,
             image_size=cfg.data.image_size)
+        self._ae_src_dir = None  # foreign checkpoint, no run-dir provenance
         if mlp_pt is not None:
             self.mlp_params, self.mlp_bn_state = load_torch_mlp(mlp_pt,
                                                                 cfg.model)

@@ -229,15 +229,22 @@ def cmd_reconstruct(args) -> None:
     from PIL import Image
     u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
     root = Path(args.images)
+    seen = set()
     for p, rec in zip(paths, u8):
         # mirror the source layout relative to --images under dest, so
         # class trees (ClassA/img1.jpg, ClassB/img1.jpg) can never clobber
         # each other's reconstructions (flattening with separators is not
-        # injective: A_B/c and A/B_c would collide)
-        rel = Path(p).relative_to(root) if root.is_dir() else Path(p).name
-        target = dest / Path(rel).with_suffix("")
+        # injective: A_B/c and A/B_c would collide). Same-stem siblings
+        # with different extensions (img.jpg + img.png) keep the extension
+        # in the name instead of overwriting.
+        rel = Path(Path(p).relative_to(root) if root.is_dir()
+                   else Path(p).name)
+        target = dest / rel.parent / f"{rel.stem}_recon.png"
+        if target in seen:
+            target = dest / rel.parent / f"{rel.name}_recon.png"
+        seen.add(target)
         target.parent.mkdir(parents=True, exist_ok=True)
-        Image.fromarray(rec).save(target.parent / f"{target.name}_recon.png")
+        Image.fromarray(rec).save(target)
     plots.reconstruction_grid(images, recons, dest / "reconstruction_grid.png")
     with open(dest / "reconstruction_mse.csv", "w", newline="") as f:
         w = csv.writer(f)

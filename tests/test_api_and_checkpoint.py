@@ -91,11 +91,20 @@ def test_fit_reuse_ae(raw, tmp_path):
     assert ae_only.encode(raw.images[:4]).shape == (4, TINY.model.latent_dim)
     for call in (lambda: ae_only.predict(raw.images[:4]),
                  lambda: ae_only.predict_proba(raw.images[:4]),
-                 lambda: ae_only.predict_batched(raw.images[:4]),
-                 lambda: ae_only.save(str(tmp_path / "x")),
-                 lambda: ae_only.export_torch(str(tmp_path / "x"))):
+                 lambda: ae_only.predict_batched(raw.images[:4])):
         with pytest.raises(RuntimeError, match="no classifier"):
             call()
+    # ...but save/export persist what exists (the migration conversion leg)
+    ae_dir = tmp_path / "ae_only"
+    ae_only.save(str(ae_dir))
+    assert (ae_dir / "ae_global_best.msgpack").exists()
+    assert not (ae_dir / "mlp_global_best.msgpack").exists()
+    np.testing.assert_allclose(
+        SatAEPipeline(TINY).load_ae(str(ae_dir)).encode(raw.images[:4]),
+        ae_only.encode(raw.images[:4]), atol=1e-6)
+    ae_only.export_torch(str(tmp_path / "ae_pt"))
+    assert (tmp_path / "ae_pt" / "AE_GLOBAL_BEST.pt").exists()
+    assert not (tmp_path / "ae_pt" / "MLP_GLOBAL_BEST.pt").exists()
 
     # same-dir reuse (the CLI --reuse-ae default) must NOT clobber the
     # winner's selection meta in ae_global_best.json
@@ -105,6 +114,21 @@ def test_fit_reuse_ae(raw, tmp_path):
                                               out_dir=str(src))
     assert json.loads((src / "ae_global_best.json").read_text()) \
         == meta_before
+
+    # ...but a reuse fit into a DIFFERENT dir holding a stale AE must
+    # overwrite it (old AE + new MLP would serve garbage silently)
+    stale = tmp_path / "stale"
+    SatAEPipeline(TINY).fit(raw, grid=False, out_dir=str(stale))
+    import jax
+
+    from satae.models.supervised_ae import supervised_ae_init
+    other = SatAEPipeline(TINY)
+    other.ae_params, other.ae_bn_state = supervised_ae_init(
+        jax.random.PRNGKey(99), TINY.model, image_size=TINY.data.image_size)
+    other.fit(raw, reuse_ae=True, out_dir=str(stale))
+    served = SatAEPipeline(TINY).load(str(stale))
+    np.testing.assert_allclose(served.encode(raw.images[:4]),
+                               other.encode(raw.images[:4]), atol=1e-6)
 
     # grid variant runs the MLP lr grid only (no validation_losses.json
     # from an AE sweep, but an mlp store + winner)

@@ -168,8 +168,12 @@ def test_cli_reconstruct(tmp_path):
         (tree / cls).mkdir(parents=True)
         Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
                         ).save(tree / cls / "img.png")
+    # plus a same-stem different-extension sibling (img.jpg next to img.png)
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                    ).save(tree / "ClassA" / "img.jpg")
     main(["reconstruct", "--out", str(out), "--images", str(tree),
           "--dest", str(tmp_path / "treedest")])
     assert (tmp_path / "treedest" / "ClassA" / "img_recon.png").exists()
+    assert (tmp_path / "treedest" / "ClassA" / "img.png_recon.png").exists()
     assert (tmp_path / "treedest" / "ClassB" / "img_recon.png").exists()
     assert (tmp_path / "treedest" / "ClassA_img" / "img_recon.png").exists()
