@@ -130,6 +130,36 @@ def test_cli_predict_images_to_csv(tmp_path):
         assert int(np.argmax(ps)) == int(r[1])
 
 
+def test_cli_fit_ae_torch(tmp_path, capsys):
+    """`satae fit --ae-torch PT`: the notebook-user's mid-pipeline migration
+    at the CLI surface — a reference AE_GLOBAL_BEST.pt in, extraction + MLP
+    training only (no AE stage), a complete satae run dir out."""
+    import jax
+
+    from satae.config import PipelineConfig
+    from satae.io.torch_export import save_torch_sae
+    from satae.models.supervised_ae import supervised_ae_init
+
+    cfg = PipelineConfig()  # CLI default: full-size 64x64 model
+    params, state = supervised_ae_init(jax.random.PRNGKey(3), cfg.model,
+                                       image_size=cfg.data.image_size)
+    ae_pt = tmp_path / "AE_GLOBAL_BEST.pt"
+    save_torch_sae(str(ae_pt), params, state, cfg.model,
+                   image_size=cfg.data.image_size)
+
+    out = str(tmp_path / "run")
+    main(["fit", "--per-class", "12", "--mlp-epochs", "1", "--out", out,
+          "--seed", "0", "--ae-torch", str(ae_pt),
+          "--cache-dir", str(tmp_path / "cache")])
+    captured = capsys.readouterr().out
+    summary = json.loads(captured[captured.index("{"):])
+    assert summary["ae_hparams"] == {"reused": True}
+    assert summary["ae_val_loss"] is None
+    assert summary["stage_seconds"]["ae"] < 5.0  # AE training skipped
+    assert (tmp_path / "run" / "ae_global_best.msgpack").exists()
+    assert (tmp_path / "run" / "mlp_global_best.msgpack").exists()
+
+
 @pytest.mark.parametrize("aug_rng", ["threefry", "rbg"])
 def test_cli_calibrate(tmp_path, capsys, aug_rng):
     """calibrate subcommand end-to-end, both PRNG streams (the --aug-rng
