@@ -230,6 +230,7 @@ def cmd_reconstruct(args) -> None:
     u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
     root = Path(args.images)
     seen = set()
+    targets = []
     for p, rec in zip(paths, u8):
         # mirror the source layout relative to --images under dest, so
         # class trees (ClassA/img1.jpg, ClassB/img1.jpg) can never clobber
@@ -243,14 +244,15 @@ def cmd_reconstruct(args) -> None:
         if target in seen:
             target = dest / rel.parent / f"{rel.name}_recon.png"
         seen.add(target)
+        targets.append(target)
         target.parent.mkdir(parents=True, exist_ok=True)
         Image.fromarray(rec).save(target)
     plots.reconstruction_grid(images, recons, dest / "reconstruction_grid.png")
     with open(dest / "reconstruction_mse.csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(("path", "mse"))
-        for p, e in zip(paths, mse):
-            w.writerow((str(p), f"{e:.6f}"))
+        w.writerow(("path", "recon_path", "mse"))
+        for p, t, e in zip(paths, targets, mse):
+            w.writerow((str(p), str(t), f"{e:.6f}"))
     print(f"wrote {len(paths)} reconstructions under {dest} "
           f"(mean MSE {float(mse.mean()):.6f})")
 

@@ -5,6 +5,8 @@ x_hat — the reconstruction — is served here standalone. These tests pin the
 serving path to the model forward, the mesh path to the single-device path,
 and the CLI artifact surface."""
 
+from pathlib import Path
+
 import jax
 import numpy as np
 import pytest
@@ -155,9 +157,10 @@ def test_cli_reconstruct(tmp_path):
     assert (dest / "reconstruction_grid.png").exists()
     with open(dest / "reconstruction_mse.csv", newline="") as f:
         rows = list(csv.reader(f))
-    assert rows[0] == ["path", "mse"]
+    assert rows[0] == ["path", "recon_path", "mse"]
     assert len(rows) == 4
-    for _, e in rows[1:]:
+    for _, rp, e in rows[1:]:
+        assert Path(rp).exists()  # CSV rows point at real recon files
         assert 0.0 <= float(e) <= 1.0
 
     # class-tree input: same-named files in different subdirs must yield
