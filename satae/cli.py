@@ -307,7 +307,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     def common(p):
-        p.add_argument("--data", default=None, help="EuroSAT root directory")
+        p.add_argument("--data", default=None, help="EuroSAT root directory or .zip archive")
         p.add_argument("--cache-dir", default=".satae_cache")
         p.add_argument("--per-class", type=int, default=2000)
         p.add_argument("--synthetic-difficulty", default="easy",

@@ -1,0 +1,93 @@
+"""Zip-archive ingestion (the form EuroSAT is distributed in) and the
+no-silent-synthetic-fallback contract of load_dataset.
+
+Reference context: the notebook assumes a pre-unzipped class tree for
+ImageFolder (Report.md:22-39); satae ingests the archive directly.
+"""
+
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from satae.config import DataConfig
+from satae.data.ingest import load_dataset, load_folder, load_zip
+from satae.data.synthetic import make_synthetic_eurosat
+
+
+@pytest.fixture(scope="module")
+def tree_and_zip(tmp_path_factory):
+    """A tiny class tree plus a EuroSAT.zip-style archive of it (class tree
+    nested inside one top-level wrapper folder, as the real distribution)."""
+    base = tmp_path_factory.mktemp("zipsrc")
+    root = base / "tree"
+    imgs, labels, classes = make_synthetic_eurosat(per_class=4, seed=1)
+    keep = [c for c in classes[:3]]
+    for i in range(len(imgs)):
+        cls = classes[labels[i]]
+        if cls not in keep:
+            continue
+        d = root / cls
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(imgs[i]).save(d / f"img_{i:04d}.png")
+    zp = base / "EuroSAT.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for p in sorted(root.rglob("*")):
+            if p.is_file():
+                zf.write(p, arcname=str(Path("2750") / p.relative_to(root)))
+    return root, zp
+
+
+def test_load_zip_matches_folder(tree_and_zip, tmp_path):
+    root, zp = tree_and_zip
+    ref = load_folder(str(root), 64)
+    ds = load_zip(str(zp), 64, cache_dir=str(tmp_path))
+    assert ds.classes == ref.classes
+    np.testing.assert_array_equal(ds.labels, ref.labels)
+    np.testing.assert_array_equal(ds.images, ref.images)
+
+
+def test_load_zip_extracts_once(tree_and_zip, tmp_path):
+    _, zp = tree_and_zip
+    ds1 = load_zip(str(zp), 64, cache_dir=str(tmp_path))
+    extracted = [d for d in tmp_path.iterdir() if d.is_dir()]
+    assert len(extracted) == 1
+    marker = extracted[0] / ".satae_extract_complete"
+    assert marker.exists()
+    stamp = marker.stat().st_mtime_ns
+    ds2 = load_zip(str(zp), 64, cache_dir=str(tmp_path))
+    assert marker.stat().st_mtime_ns == stamp  # no re-extraction
+    np.testing.assert_array_equal(ds1.images, ds2.images)
+
+
+def test_load_dataset_accepts_zip_root(tree_and_zip, tmp_path):
+    root, zp = tree_and_zip
+    cfg = DataConfig(root=str(zp), cache_dir=str(tmp_path))
+    ds = load_dataset(cfg)
+    assert ds.classes == load_folder(str(root), 64).classes
+
+
+def test_load_dataset_missing_root_raises(tmp_path):
+    cfg = DataConfig(root=str(tmp_path / "nonexistent"))
+    with pytest.raises(FileNotFoundError, match="neither a directory"):
+        load_dataset(cfg)
+    # a non-zip file root also raises rather than training on synthetic
+    f = tmp_path / "data.tar"
+    f.write_bytes(b"x")
+    with pytest.raises(FileNotFoundError):
+        load_dataset(DataConfig(root=str(f)))
+
+
+def test_interrupted_extraction_recovers(tree_and_zip, tmp_path):
+    """A dest dir without the completion marker (crash mid-extract) is
+    re-extracted, not served half-empty."""
+    _, zp = tree_and_zip
+    from satae.data.ingest import _zip_extract_dir
+    dest = _zip_extract_dir(str(zp), str(tmp_path))
+    dest.mkdir(parents=True)
+    (dest / "2750").mkdir()  # simulate partial extraction, no marker
+    ds = load_zip(str(zp), 64, cache_dir=str(tmp_path))
+    assert len(ds) > 0
+    assert (dest / ".satae_extract_complete").exists()

@@ -25,7 +25,8 @@ import pytest
 EUROSAT_DIR = os.environ.get("EUROSAT_DIR")
 
 pytestmark = pytest.mark.skipif(
-    not (EUROSAT_DIR and os.path.isdir(EUROSAT_DIR)),
+    not (EUROSAT_DIR and (os.path.isdir(EUROSAT_DIR)
+                          or EUROSAT_DIR.lower().endswith(".zip"))),
     reason="EUROSAT_DIR not set; real-data parity runs need the dataset")
 
 
