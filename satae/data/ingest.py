@@ -37,6 +37,22 @@ from satae.data.synthetic import make_synthetic_eurosat
 
 _IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
 
+# Archive/OS metadata that must never become a class or an image: macOS
+# zips ship a __MACOSX/ tree of "._*" AppleDouble resource forks (with .jpg
+# suffixes PIL cannot decode), plus .DS_Store etc.
+_JUNK_DIR_NAMES = {"__MACOSX"}
+
+
+def _is_image_file(p: Path) -> bool:
+    return (p.suffix.lower() in _IMG_EXTS
+            and not p.name.startswith("."))
+
+
+def _class_dirs(rootp: Path) -> list:
+    return [d for d in rootp.iterdir()
+            if d.is_dir() and not d.name.startswith(".")
+            and d.name not in _JUNK_DIR_NAMES]
+
 
 @dataclass
 class RawDataset:
@@ -53,11 +69,11 @@ class RawDataset:
 def scan_folder(root: str) -> Tuple[Sequence[Path], np.ndarray, Tuple[str, ...]]:
     """ImageFolder-style scan: class = sorted subdir name, label = its rank."""
     rootp = Path(root)
-    classes = tuple(sorted(d.name for d in rootp.iterdir() if d.is_dir()))
+    classes = tuple(sorted(d.name for d in _class_dirs(rootp)))
     paths, labels = [], []
     for idx, cls in enumerate(classes):
         for p in sorted((rootp / cls).rglob("*")):
-            if p.suffix.lower() in _IMG_EXTS:
+            if _is_image_file(p):
                 paths.append(p)
                 labels.append(idx)
     return paths, np.asarray(labels, np.int32), classes
@@ -70,7 +86,9 @@ def scan_images(root: str) -> Sequence[Path]:
     if rootp.is_file():
         return [rootp]
     return sorted(p for p in rootp.rglob("*")
-                  if p.suffix.lower() in _IMG_EXTS)
+                  if _is_image_file(p)
+                  and not any(part in _JUNK_DIR_NAMES or part.startswith(".")
+                              for part in p.relative_to(rootp).parts[:-1]))
 
 
 def decode_images(paths: Sequence[Path], image_size: int = 64) -> np.ndarray:
@@ -156,34 +174,90 @@ def _zip_extract_dir(zip_path: str, cache_dir: Optional[str]) -> Path:
 def _find_tree_root(root: Path) -> Path:
     """Descend through single-directory wrappers: the real EuroSAT.zip nests
     the class tree inside one top-level folder (``2750/`` or
-    ``EuroSAT_RGB/``), which ImageFolder users strip by hand."""
+    ``EuroSAT_RGB/``), which ImageFolder users strip by hand. Metadata dirs
+    (``__MACOSX``, hidden) don't count as wrappers or classes; a sole subdir
+    that directly holds images is a CLASS dir (one-class tree), not a
+    wrapper, so descent stops a level above it."""
     cur = root
     while True:
-        subdirs = [d for d in cur.iterdir() if d.is_dir()]
-        has_images = any(f.suffix.lower() in _IMG_EXTS
+        subdirs = _class_dirs(cur)
+        has_images = any(_is_image_file(f)
                          for f in cur.iterdir() if f.is_file())
         if has_images or len(subdirs) != 1:
             return cur
-        cur = subdirs[0]
+        sole = subdirs[0]
+        if any(_is_image_file(f) for f in sole.iterdir() if f.is_file()):
+            return cur
+        cur = sole
+
+
+_EXTRACT_MARKER = ".satae_extract_complete"
+
+
+def _evict_stale_extractions(zip_path: str, dest: Path, image_size: int,
+                             cache_dir: Optional[str]) -> None:
+    """Remove extraction dirs of SUPERSEDED versions of this archive (same
+    stem, different identity hash) plus their decode .npz caches — without
+    eviction every zip replacement would leak a full dataset copy. Only dirs
+    carrying our completion marker are touched."""
+    import shutil
+
+    for old in dest.parent.glob(f"{Path(zip_path).stem}_extracted_*"):
+        if old == dest or not (old / _EXTRACT_MARKER).exists():
+            continue
+        try:
+            old_root = _find_tree_root(old)
+            paths, _, _ = scan_folder(str(old_root))
+            if cache_dir and paths:
+                _cache_path(cache_dir, str(old_root), image_size,
+                            paths).unlink(missing_ok=True)
+        except OSError:
+            pass
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def load_zip(zip_path: str, image_size: int = 64,
              cache_dir: Optional[str] = None) -> RawDataset:
     """Ingest a class-tree archive (e.g. the EuroSAT.zip distribution)
-    without manual unzipping: extract once (marker-guarded so an interrupted
-    extraction re-runs), locate the class tree through any single-folder
-    wrapper, then reuse the normal decode-once folder path. Replaces the
-    hand-unzip step before the reference's ImageFolder load (Report.md:22-39).
+    without manual unzipping: extract once, locate the class tree through
+    any single-folder wrapper, then reuse the normal decode-once folder
+    path. Replaces the hand-unzip step before the reference's ImageFolder
+    load (Report.md:22-39).
+
+    Extraction goes into a private temp dir and is atomically renamed into
+    place: concurrent processes sharing the default cache dir each extract
+    their own copy and exactly one rename wins — nobody ever decodes
+    half-written files (the decode cache keys on the file LIST, so a torn
+    extraction would otherwise be cached and served forever). A dest without
+    the completion marker (a crashed pre-atomic run) is discarded.
     """
+    import shutil
+    import tempfile
     import zipfile
 
     dest = _zip_extract_dir(zip_path, cache_dir)
-    marker = dest / ".satae_extract_complete"
+    marker = dest / _EXTRACT_MARKER
     if not marker.exists():
-        dest.mkdir(parents=True, exist_ok=True)
-        with zipfile.ZipFile(zip_path) as zf:
-            zf.extractall(dest)
-        marker.write_text("ok")
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        _evict_stale_extractions(zip_path, dest, image_size, cache_dir)
+        if dest.exists():
+            shutil.rmtree(dest)
+        # dot-prefixed so a leaked tmp dir is invisible to the stale-eviction
+        # glob and to _class_dirs
+        tmp = Path(tempfile.mkdtemp(prefix=f".{dest.name}.tmp.",
+                                    dir=dest.parent))
+        try:
+            with zipfile.ZipFile(zip_path) as zf:
+                zf.extractall(tmp)
+            (tmp / _EXTRACT_MARKER).write_text("ok")
+            os.rename(tmp, dest)
+        except OSError:
+            # rename onto an existing dest = a concurrent extraction won;
+            # anything else (incl. a failed extract) is real
+            if not marker.exists():
+                raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     return load_folder(str(_find_tree_root(dest)), image_size, cache_dir)
 
 

@@ -91,3 +91,64 @@ def test_interrupted_extraction_recovers(tree_and_zip, tmp_path):
     ds = load_zip(str(zp), 64, cache_dir=str(tmp_path))
     assert len(ds) > 0
     assert (dest / ".satae_extract_complete").exists()
+
+
+def test_macos_metadata_ignored(tree_and_zip, tmp_path):
+    """macOS-rezipped archives carry a top-level __MACOSX/ tree of '._*'
+    AppleDouble resource forks with image suffixes; neither may become a
+    class or an image (PIL cannot decode resource forks, and '__MACOSX'
+    as a class label would silently corrupt every label)."""
+    root, zp = tree_and_zip
+    zp2 = tmp_path / "EuroSAT_mac.zip"
+    with zipfile.ZipFile(zp) as src, zipfile.ZipFile(zp2, "w") as dst:
+        for item in src.infolist():
+            data = src.read(item.filename)
+            dst.writestr(item, data)
+            if item.filename.endswith(".png"):
+                p = Path(item.filename)
+                dst.writestr(str(Path("__MACOSX") / p.parent / f"._{p.name}"),
+                             b"\x00\x05\x16\x07 not an image")
+        dst.writestr(".DS_Store", b"junk")
+    ref = load_folder(str(root), 64)
+    ds = load_zip(str(zp2), 64, cache_dir=str(tmp_path / "cache"))
+    assert ds.classes == ref.classes
+    np.testing.assert_array_equal(ds.images, ref.images)
+
+
+def test_one_class_zip(tmp_path):
+    """A sole subdir holding images directly is a CLASS dir, not a wrapper:
+    the tree-root search must stop a level above it (descending into it
+    would present a classless folder to load_folder)."""
+    imgs, labels, classes = make_synthetic_eurosat(per_class=3, seed=2)
+    zp = tmp_path / "one_class.zip"
+    import io
+    from PIL import Image as PILImage
+    with zipfile.ZipFile(zp, "w") as zf:
+        for i in range(3):
+            buf = io.BytesIO()
+            PILImage.fromarray(imgs[i]).save(buf, format="PNG")
+            zf.writestr(f"wrapper/Forest/img_{i}.png", buf.getvalue())
+    ds = load_zip(str(zp), 64, cache_dir=str(tmp_path / "cache"))
+    assert ds.classes == ("Forest",)
+    assert len(ds) == 3
+
+
+def test_replaced_zip_evicts_stale_extraction(tree_and_zip, tmp_path):
+    """Replacing the archive (new mtime/size) re-extracts under a new key
+    AND removes the superseded extraction dir + its decode .npz cache —
+    without eviction every refresh would leak a full dataset copy."""
+    import os
+    import time
+    _, zp = tree_and_zip
+    zp2 = tmp_path / "EuroSAT.zip"
+    zp2.write_bytes(zp.read_bytes())
+    cache = tmp_path / "cache"
+    load_zip(str(zp2), 64, cache_dir=str(cache))
+    old_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    old_npz = {f.name for f in cache.glob("*.npz")}
+    assert old_dirs and old_npz
+    os.utime(zp2, (time.time() + 10, time.time() + 10))  # new identity
+    load_zip(str(zp2), 64, cache_dir=str(cache))
+    new_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    assert len(new_dirs) == 1 and new_dirs != old_dirs  # old dir evicted
+    assert not (old_npz & {f.name for f in cache.glob("*.npz")})

@@ -26,7 +26,8 @@ EUROSAT_DIR = os.environ.get("EUROSAT_DIR")
 
 pytestmark = pytest.mark.skipif(
     not (EUROSAT_DIR and (os.path.isdir(EUROSAT_DIR)
-                          or EUROSAT_DIR.lower().endswith(".zip"))),
+                          or (EUROSAT_DIR.lower().endswith(".zip")
+                              and os.path.isfile(EUROSAT_DIR)))),
     reason="EUROSAT_DIR not set; real-data parity runs need the dataset")
 
 
