@@ -153,9 +153,10 @@ def test_cli_fit_ae_torch(tmp_path, capsys):
           "--cache-dir", str(tmp_path / "cache")])
     captured = capsys.readouterr().out
     summary = json.loads(captured[captured.index("{"):])
+    # reused=True + no val loss prove AE training was skipped (a wall-clock
+    # bound here flaked under load on this 1-core host)
     assert summary["ae_hparams"] == {"reused": True}
     assert summary["ae_val_loss"] is None
-    assert summary["stage_seconds"]["ae"] < 5.0  # AE training skipped
     assert (tmp_path / "run" / "ae_global_best.msgpack").exists()
     assert (tmp_path / "run" / "mlp_global_best.msgpack").exists()
 
