@@ -19,13 +19,20 @@ from satae.utils.strict_json import dump_strict_json, json_restore
 
 class MetricsLogger:
     def __init__(self, path: Optional[str | Path] = None, *,
-                 stream=sys.stdout, echo: bool = True):
+                 stream=None, echo: bool = True):
         self.path = Path(path) if path else None
-        self.stream = stream
+        # None = look up sys.stdout at each write: a def-time default would
+        # freeze whatever stdout was at import (e.g. a pytest capture stream
+        # that is closed by the time a later test logs).
+        self._stream = stream
         self.echo = echo
         self._t0 = time.time()
         if self.path:
             self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def stream(self):
+        return self._stream if self._stream is not None else sys.stdout
 
     def log(self, record: Dict[str, Any], **extra: Any) -> None:
         rec = {"t": round(time.time() - self._t0, 3), **record, **extra}

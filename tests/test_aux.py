@@ -82,6 +82,31 @@ def test_metrics_logger(tmp_path):
     assert records[2]["msg"] == "free-form message"
 
 
+def test_metrics_logger_tracks_current_stdout(tmp_path):
+    """The default stream must be resolved at WRITE time: a def-time
+    sys.stdout default froze pytest's per-test capture stream at import,
+    so any later test echoing through a fresh logger hit
+    'I/O operation on closed file' (regression)."""
+    import io
+    import sys
+
+    log = MetricsLogger(echo=True)
+    buf = io.StringIO()
+    orig = sys.stdout
+    sys.stdout = buf
+    try:
+        log("hello")
+        log.log({"x": 1})
+    finally:
+        sys.stdout = orig
+    out = buf.getvalue()
+    assert "hello" in out and "x=1" in out
+    # explicit stream still wins
+    buf2 = io.StringIO()
+    MetricsLogger(stream=buf2)("direct")
+    assert "direct" in buf2.getvalue()
+
+
 def test_profiler_trace_writes_files(tmp_path):
     import jax.numpy as jnp
 
