@@ -102,11 +102,16 @@ def _decode_pil(paths: Sequence[Path], image_size: int) -> np.ndarray:
 
     out = np.empty((len(paths), image_size, image_size, 3), np.uint8)
     for i, p in enumerate(paths):
-        with Image.open(p) as im:
-            im = im.convert("RGB")
-            if im.size != (image_size, image_size):
-                im = im.resize((image_size, image_size))
-            out[i] = np.asarray(im, np.uint8)
+        try:
+            with Image.open(p) as im:
+                im = im.convert("RGB")
+                if im.size != (image_size, image_size):
+                    im = im.resize((image_size, image_size))
+                out[i] = np.asarray(im, np.uint8)
+        except Exception as e:
+            # PIL's truncated-file OSError carries no filename; 20k images
+            # into a real EuroSAT decode that's undebuggable.
+            raise ValueError(f"failed to decode image {p}: {e}") from e
     return out
 
 

@@ -152,3 +152,17 @@ def test_replaced_zip_evicts_stale_extraction(tree_and_zip, tmp_path):
     new_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
     assert len(new_dirs) == 1 and new_dirs != old_dirs  # old dir evicted
     assert not (old_npz & {f.name for f in cache.glob("*.npz")})
+
+
+def test_corrupt_image_error_names_file(tree_and_zip, tmp_path):
+    """A truncated/corrupt image must fail with the offending PATH in the
+    message — PIL's bare 'image file is truncated' OSError 20k files into a
+    real EuroSAT decode is undebuggable."""
+    root, _ = tree_and_zip
+    bad_root = tmp_path / "tree"
+    import shutil
+    shutil.copytree(root, bad_root)
+    victim = sorted(bad_root.rglob("*.png"))[0]
+    victim.write_bytes(victim.read_bytes()[:40])  # truncate mid-header
+    with pytest.raises(ValueError, match=victim.name):
+        load_folder(str(bad_root), 64)
