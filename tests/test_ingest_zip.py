@@ -166,3 +166,32 @@ def test_corrupt_image_error_names_file(tree_and_zip, tmp_path):
     victim.write_bytes(victim.read_bytes()[:40])  # truncate mid-header
     with pytest.raises(ValueError, match=victim.name):
         load_folder(str(bad_root), 64)
+
+
+def test_concurrent_extraction_safe(tree_and_zip, tmp_path):
+    """N processes ingesting the same archive into one fresh cache dir must
+    all succeed with identical data (each extracts privately; exactly one
+    atomic rename wins) — the docstring's concurrency contract, exercised
+    for real."""
+    import subprocess
+    import sys
+
+    _, zp = tree_and_zip
+    cache = tmp_path / "cache"
+    script = (
+        "import sys; sys.path.insert(0, {root!r})\n"
+        "from satae.data.ingest import load_zip\n"
+        "ds = load_zip({zp!r}, 64, cache_dir={cache!r})\n"
+        "print(len(ds), ','.join(ds.classes))\n"
+    ).format(root=str(Path(__file__).resolve().parent.parent),
+             zp=str(zp), cache=str(cache))
+    procs = [subprocess.Popen([sys.executable, "-c", script],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+             for _ in range(3)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    assert all(p.returncode == 0 for p in procs), \
+        [e.decode()[-500:] for _, e in outs]
+    lines = {o.decode().strip().splitlines()[-1] for o, _ in outs}
+    assert len(lines) == 1  # identical count + classes from every process
+    dirs = [d for d in cache.iterdir() if d.is_dir()]
+    assert len(dirs) == 1  # one extraction survives, no leaked tmp dirs
