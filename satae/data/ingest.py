@@ -148,19 +148,22 @@ def load_folder(root: str, image_size: int = 64,
     paths, labels, classes = scan_folder(root)
     if not paths:
         raise FileNotFoundError(f"no images under {root}")
-    if cache_dir:
-        cp = _cache_path(cache_dir, root, image_size, paths)
-        if cp.exists():
+    cp = _cache_path(cache_dir, root, image_size, paths) if cache_dir else None
+    if cp is not None and cp.exists():
+        try:
             z = np.load(cp, allow_pickle=False)
             return RawDataset(z["images"], z["labels"],
                               tuple(str(c) for c in z["classes"]))
+        except Exception:
+            cp.unlink()  # corrupt (e.g. interrupted write): re-decode
     images = _decode(paths, image_size)
     ds = RawDataset(images, labels, classes)
-    if cache_dir:
-        Path(cache_dir).mkdir(parents=True, exist_ok=True)
-        np.savez(_cache_path(cache_dir, root, image_size, paths),
-                 images=ds.images, labels=ds.labels,
+    if cp is not None:
+        cp.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cp.with_suffix(".tmp.npz")
+        np.savez(tmp, images=ds.images, labels=ds.labels,
                  classes=np.asarray(ds.classes))
+        os.replace(tmp, cp)  # atomic: no half-written cache survives a crash
     return ds
 
 

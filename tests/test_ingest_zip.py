@@ -62,6 +62,20 @@ def test_load_zip_extracts_once(tree_and_zip, tmp_path):
     np.testing.assert_array_equal(ds1.images, ds2.images)
 
 
+def test_corrupt_decode_cache_recovers(tree_and_zip, tmp_path):
+    """A torn .npz decode cache (crash mid-write before the atomic replace
+    existed) must be discarded and re-decoded, not raise forever."""
+    root, _ = tree_and_zip
+    ref = load_folder(str(root), 64, cache_dir=str(tmp_path))
+    (cache,) = tmp_path.glob("*.npz")
+    cache.write_bytes(b"PK\x03\x04 torn")
+    ds = load_folder(str(root), 64, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(ds.images, ref.images)
+    # and the rewritten cache is loadable again
+    ds2 = load_folder(str(root), 64, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(ds2.images, ref.images)
+
+
 def test_load_dataset_accepts_zip_root(tree_and_zip, tmp_path):
     root, zp = tree_and_zip
     cfg = DataConfig(root=str(zp), cache_dir=str(tmp_path))
