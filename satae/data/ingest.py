@@ -66,14 +66,24 @@ class RawDataset:
         return int(self.images.shape[0])
 
 
+def _junk_parts(parts: Sequence[str]) -> bool:
+    return any(part in _JUNK_DIR_NAMES or part.startswith(".")
+               for part in parts)
+
+
 def scan_folder(root: str) -> Tuple[Sequence[Path], np.ndarray, Tuple[str, ...]]:
-    """ImageFolder-style scan: class = sorted subdir name, label = its rank."""
+    """ImageFolder-style scan: class = sorted subdir name, label = its rank.
+
+    Images inside hidden/metadata subdirectories of a class dir (e.g.
+    ``AnnualCrop/.ipynb_checkpoints/``) are excluded — they would otherwise
+    silently pollute the labeled set with duplicate/stale copies."""
     rootp = Path(root)
     classes = tuple(sorted(d.name for d in _class_dirs(rootp)))
     paths, labels = [], []
     for idx, cls in enumerate(classes):
         for p in sorted((rootp / cls).rglob("*")):
-            if _is_image_file(p):
+            if (_is_image_file(p)
+                    and not _junk_parts(p.relative_to(rootp / cls).parts[:-1])):
                 paths.append(p)
                 labels.append(idx)
     return paths, np.asarray(labels, np.int32), classes
@@ -87,8 +97,7 @@ def scan_images(root: str) -> Sequence[Path]:
         return [rootp]
     return sorted(p for p in rootp.rglob("*")
                   if _is_image_file(p)
-                  and not any(part in _JUNK_DIR_NAMES or part.startswith(".")
-                              for part in p.relative_to(rootp).parts[:-1]))
+                  and not _junk_parts(p.relative_to(rootp).parts[:-1]))
 
 
 def decode_images(paths: Sequence[Path], image_size: int = 64) -> np.ndarray:
@@ -155,16 +164,29 @@ def load_folder(root: str, image_size: int = 64,
             return RawDataset(z["images"], z["labels"],
                               tuple(str(c) for c in z["classes"]))
         except Exception:
-            cp.unlink()  # corrupt (e.g. interrupted write): re-decode
+            # corrupt (e.g. interrupted write): re-decode; a concurrent
+            # process may have unlinked the same torn cache first
+            cp.unlink(missing_ok=True)
     images = _decode(paths, image_size)
     ds = RawDataset(images, labels, classes)
     if cp is not None:
         cp.parent.mkdir(parents=True, exist_ok=True)
-        tmp = cp.with_suffix(".tmp.npz")
-        np.savez(tmp, images=ds.images, labels=ds.labels,
-                 classes=np.asarray(ds.classes))
-        os.replace(tmp, cp)  # atomic: no half-written cache survives a crash
+        _atomic_savez(cp, images=ds.images, labels=ds.labels,
+                      classes=np.asarray(ds.classes))
     return ds
+
+
+def _atomic_savez(cp: Path, **arrays) -> None:
+    """np.savez into a PER-PROCESS tmp file, then atomic rename: concurrent
+    writers of the same cache never truncate each other's in-flight file
+    (a shared tmp name would), and each replace installs a complete .npz —
+    last writer wins with identical content."""
+    tmp = cp.parent / f"{cp.stem}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez(tmp, **arrays)
+        os.replace(tmp, cp)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _zip_extract_dir(zip_path: str, cache_dir: Optional[str]) -> Path:
@@ -173,7 +195,7 @@ def _zip_extract_dir(zip_path: str, cache_dir: Optional[str]) -> Path:
     tree. Lives under cache_dir when set, else next to the archive."""
     st = os.stat(zip_path)
     h = hashlib.sha1(
-        f"{os.path.abspath(zip_path)}:{st.st_size}:{int(st.st_mtime)}"
+        f"{os.path.abspath(zip_path)}:{st.st_size}:{st.st_mtime_ns}"
         .encode()).hexdigest()[:16]
     base = Path(cache_dir) if cache_dir else Path(zip_path).parent
     return base / f"{Path(zip_path).stem}_extracted_{h}"
@@ -208,9 +230,11 @@ def _evict_stale_extractions(zip_path: str, dest: Path, image_size: int,
     stem, different identity hash) plus their decode .npz caches — without
     eviction every zip replacement would leak a full dataset copy. Only dirs
     carrying our completion marker are touched."""
+    import glob as _glob
     import shutil
 
-    for old in dest.parent.glob(f"{Path(zip_path).stem}_extracted_*"):
+    stem = _glob.escape(Path(zip_path).stem)  # stems may contain [], * etc.
+    for old in dest.parent.glob(f"{stem}_extracted_*"):
         if old == dest or not (old / _EXTRACT_MARKER).exists():
             continue
         try:
@@ -248,8 +272,12 @@ def load_zip(zip_path: str, image_size: int = 64,
     if not marker.exists():
         dest.parent.mkdir(parents=True, exist_ok=True)
         _evict_stale_extractions(zip_path, dest, image_size, cache_dir)
-        if dest.exists():
-            shutil.rmtree(dest)
+        # re-check the marker: a concurrent extraction may have completed
+        # since the gate above, and deleting a WINNER'S tree would yank files
+        # out from under its decode; a markerless dest is a crashed run
+        # (possibly being removed by another straggler too — ignore_errors)
+        if dest.exists() and not marker.exists():
+            shutil.rmtree(dest, ignore_errors=True)
         # dot-prefixed so a leaked tmp dir is invisible to the stale-eviction
         # glob and to _class_dirs
         tmp = Path(tempfile.mkdtemp(prefix=f".{dest.name}.tmp.",
@@ -305,13 +333,14 @@ def load_dataset(cfg: DataConfig) -> RawDataset:
                 return RawDataset(blob["images"], blob["labels"],
                                   tuple(blob["classes"].tolist()))
             except Exception:
-                cp.unlink()  # corrupt (e.g. interrupted write): regenerate
+                # corrupt (e.g. interrupted write): regenerate; a concurrent
+                # process may have unlinked the same torn cache first
+                cp.unlink(missing_ok=True)
     images, labels, classes = make_synthetic_eurosat(
         per_class=cfg.per_class, image_size=cfg.image_size,
         seed=cfg.subsample_seed, difficulty=cfg.synthetic_difficulty)
     if cp is not None:
         cp.parent.mkdir(parents=True, exist_ok=True)
-        tmp = cp.with_suffix(".tmp.npz")
-        np.savez(tmp, images=images, labels=labels, classes=np.array(classes))
-        os.replace(tmp, cp)  # atomic: no half-written cache survives a crash
+        _atomic_savez(cp, images=images, labels=labels,
+                      classes=np.array(classes))
     return RawDataset(images, labels, classes)

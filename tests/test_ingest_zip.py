@@ -168,6 +168,64 @@ def test_replaced_zip_evicts_stale_extraction(tree_and_zip, tmp_path):
     assert not (old_npz & {f.name for f in cache.glob("*.npz")})
 
 
+def test_hidden_dirs_inside_class_trees_excluded(tree_and_zip, tmp_path):
+    """Images nested in hidden/metadata subdirs of a class dir (Jupyter's
+    .ipynb_checkpoints being the classic) must not become labeled training
+    images — they are duplicate/stale copies."""
+    root, _ = tree_and_zip
+    import shutil
+    polluted = tmp_path / "tree"
+    shutil.copytree(root, polluted)
+    ref = load_folder(str(root), 64)
+    cls_dir = sorted(d for d in polluted.iterdir() if d.is_dir())[0]
+    junk = cls_dir / ".ipynb_checkpoints"
+    junk.mkdir()
+    src = sorted(cls_dir.glob("*.png"))[0]
+    (junk / f"{src.stem}-checkpoint.png").write_bytes(src.read_bytes())
+    ds = load_folder(str(polluted), 64)
+    assert len(ds) == len(ref)
+    np.testing.assert_array_equal(ds.labels, ref.labels)
+
+
+def test_zip_stem_with_glob_metacharacters(tree_and_zip, tmp_path):
+    """Archive names like 'EuroSAT[2024].zip' must still ingest AND still
+    evict their own superseded extractions (an unescaped glob pattern would
+    treat [2024] as a character class and leak a dataset copy per
+    replacement)."""
+    import os
+    import time
+    _, zp = tree_and_zip
+    zp2 = tmp_path / "EuroSAT[2024].zip"
+    zp2.write_bytes(zp.read_bytes())
+    cache = tmp_path / "cache"
+    ds = load_zip(str(zp2), 64, cache_dir=str(cache))
+    assert len(ds) > 0
+    old_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    os.utime(zp2, (time.time() + 10, time.time() + 10))
+    load_zip(str(zp2), 64, cache_dir=str(cache))
+    new_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    assert len(new_dirs) == 1 and new_dirs != old_dirs
+
+
+def test_same_second_zip_replacement_reextracts(tree_and_zip, tmp_path):
+    """A same-size archive replaced within the same wall-clock second must
+    still get a fresh extraction (identity hashes mtime at ns resolution;
+    whole-second truncation would silently serve the previous archive)."""
+    import os
+    _, zp = tree_and_zip
+    zp2 = tmp_path / "EuroSAT.zip"
+    zp2.write_bytes(zp.read_bytes())
+    cache = tmp_path / "cache"
+    load_zip(str(zp2), 64, cache_dir=str(cache))
+    old_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    st = os.stat(zp2)
+    # same size, same whole second, different nanoseconds
+    os.utime(zp2, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    load_zip(str(zp2), 64, cache_dir=str(cache))
+    new_dirs = {d.name for d in cache.iterdir() if d.is_dir()}
+    assert new_dirs != old_dirs
+
+
 def test_corrupt_image_error_names_file(tree_and_zip, tmp_path):
     """A truncated/corrupt image must fail with the offending PATH in the
     message — PIL's bare 'image file is truncated' OSError 20k files into a
