@@ -164,13 +164,16 @@ def cmd_predict(args) -> None:
     import csv
 
     from satae.api import SatAEPipeline
-    from satae.data.ingest import decode_images, scan_images
+    from satae.data.ingest import (decode_images, resolve_image_root,
+                                   scan_images)
 
     import numpy as np
 
     cfg = _config_from_args(args)
     pipe = SatAEPipeline(cfg).load(args.out)
-    paths = scan_images(args.images)
+    root = resolve_image_root(args.images, cfg.data.cache_dir,
+                              cfg.data.image_size)
+    paths = scan_images(root)
     if not paths:
         raise FileNotFoundError(f"no images under {args.images}")
     images = decode_images(paths, cfg.data.image_size)
@@ -210,12 +213,15 @@ def cmd_reconstruct(args) -> None:
     import numpy as np
 
     from satae.api import SatAEPipeline
-    from satae.data.ingest import decode_images, scan_images
+    from satae.data.ingest import (decode_images, resolve_image_root,
+                                   scan_images)
     from satae.eval import plots
 
     cfg = _config_from_args(args)
     pipe = SatAEPipeline(cfg).load(args.out)
-    paths = scan_images(args.images)
+    root_str = resolve_image_root(args.images, cfg.data.cache_dir,
+                                  cfg.data.image_size)
+    paths = scan_images(root_str)
     if not paths:
         raise FileNotFoundError(f"no images under {args.images}")
     images = decode_images(paths, cfg.data.image_size)
@@ -228,7 +234,7 @@ def cmd_reconstruct(args) -> None:
     dest.mkdir(parents=True, exist_ok=True)
     from PIL import Image
     u8 = np.rint(np.clip(recons, 0.0, 1.0) * 255.0).astype(np.uint8)
-    root = Path(args.images)
+    root = Path(root_str)
     seen = set()
     targets = []
     for p, rec in zip(paths, u8):
@@ -388,7 +394,7 @@ def build_parser() -> argparse.ArgumentParser:
                                  "to CSV using saved checkpoints")
     common(p_pred)
     p_pred.add_argument("--images", required=True,
-                        help="image file, flat dir, or class tree")
+                        help="image file, flat dir, class tree, or .zip archive")
     p_pred.add_argument("--csv", default=None,
                         help="destination CSV (default: OUT/predictions.csv)")
     p_pred.add_argument("--proba", action="store_true",
@@ -401,7 +407,7 @@ def build_parser() -> argparse.ArgumentParser:
                                 "reconstruction-MSE CSV)")
     common(p_rec)
     p_rec.add_argument("--images", required=True,
-                       help="image file, flat dir, or class tree")
+                       help="image file, flat dir, class tree, or .zip archive")
     p_rec.add_argument("--dest", default=None,
                        help="destination dir (default: OUT/reconstructions)")
     p_rec.set_defaults(fn=cmd_reconstruct)

@@ -248,13 +248,13 @@ def _evict_stale_extractions(zip_path: str, dest: Path, image_size: int,
         shutil.rmtree(old, ignore_errors=True)
 
 
-def load_zip(zip_path: str, image_size: int = 64,
-             cache_dir: Optional[str] = None) -> RawDataset:
-    """Ingest a class-tree archive (e.g. the EuroSAT.zip distribution)
-    without manual unzipping: extract once, locate the class tree through
-    any single-folder wrapper, then reuse the normal decode-once folder
-    path. Replaces the hand-unzip step before the reference's ImageFolder
-    load (Report.md:22-39).
+def extract_zip_tree(zip_path: str, cache_dir: Optional[str] = None,
+                     image_size: int = 64) -> Path:
+    """Extract an image archive once and return its inner tree root (any
+    single-folder wrapper stripped). The shared machinery behind both
+    ``load_zip`` (labeled training data) and the serving CLIs' ``--images``
+    (unlabeled zips); ``image_size`` only keys the eviction of superseded
+    decode caches.
 
     Extraction goes into a private temp dir and is atomically renamed into
     place: concurrent processes sharing the default cache dir each extract
@@ -294,7 +294,28 @@ def load_zip(zip_path: str, image_size: int = 64,
                 raise
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    return load_folder(str(_find_tree_root(dest)), image_size, cache_dir)
+    return _find_tree_root(dest)
+
+
+def load_zip(zip_path: str, image_size: int = 64,
+             cache_dir: Optional[str] = None) -> RawDataset:
+    """Ingest a class-tree archive (e.g. the EuroSAT.zip distribution)
+    without manual unzipping: extract once (``extract_zip_tree``), then
+    reuse the normal decode-once folder path. Replaces the hand-unzip step
+    before the reference's ImageFolder load (Report.md:22-39)."""
+    root = extract_zip_tree(zip_path, cache_dir, image_size)
+    return load_folder(str(root), image_size, cache_dir)
+
+
+def resolve_image_root(path: str, cache_dir: Optional[str] = None,
+                       image_size: int = 64) -> str:
+    """Serving-input normalizer: a directory or single image passes through;
+    a ``.zip`` archive is extracted once and its tree root returned — so
+    ``satae predict/reconstruct --images`` accept the unextracted
+    EuroSAT.zip exactly like ``--data`` does."""
+    if os.path.isfile(path) and path.lower().endswith(".zip"):
+        return str(extract_zip_tree(path, cache_dir, image_size))
+    return path
 
 
 def load_dataset(cfg: DataConfig) -> RawDataset:

@@ -129,6 +129,20 @@ def test_cli_predict_images_to_csv(tmp_path):
         assert abs(max(ps) - float(r[3])) < 1e-3
         assert int(np.argmax(ps)) == int(r[1])
 
+    # --images also accepts an unextracted .zip of the same tree (like
+    # --data): identical class_ids in the same sorted order
+    import zipfile
+    zp = tmp_path / "imgs.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        for p in sorted(imgdir.rglob("*.png")):
+            zf.write(p, arcname=str(p.relative_to(imgdir)))
+    main(["predict", "--out", str(out), "--images", str(zp),
+          "--cache-dir", str(tmp_path / "zcache"),
+          "--csv", str(out / "zip.csv")])
+    with open(out / "zip.csv", newline="") as f:
+        zrows = list(csv.reader(f))
+    assert [r[1] for r in zrows[1:]] == [r[1] for r in rows[1:]]
+
 
 def test_cli_fit_ae_torch(tmp_path, capsys):
     """`satae fit --ae-torch PT`: the notebook-user's mid-pipeline migration
