@@ -35,6 +35,23 @@ BEST_AE_LR = 5e-3
 BEST_MLP_LR = 1e-4
 
 
+def _grid_mesh(cfg: PipelineConfig):
+    """The config-parallel sweep mesh: one grid config per mesh row per
+    round; ``grid_dp>1`` adds a data axis so each config trains
+    data-parallel (2-D config x data mesh). One helper for the AE and MLP
+    sweeps so the divisibility validation applies to every path (incl.
+    reuse_ae fits that skip the AE sweep)."""
+    from satae.parallel import make_grid_mesh, make_mesh
+    if cfg.runtime.grid_dp > 1:
+        if cfg.runtime.n_devices % cfg.runtime.grid_dp:
+            raise ValueError(
+                f"n_devices ({cfg.runtime.n_devices}) must be "
+                f"divisible by grid_dp ({cfg.runtime.grid_dp})")
+        return make_grid_mesh(cfg.runtime.n_devices // cfg.runtime.grid_dp,
+                              cfg.runtime.grid_dp)
+    return make_mesh(cfg.runtime.n_devices, cfg.runtime.mesh_axis)
+
+
 @dataclasses.dataclass
 class FitSummary:
     ae_val_loss: Optional[float]  # None for reuse_ae fits (no AE training)
@@ -80,7 +97,14 @@ class SatAEPipeline:
         (+ the 11-lr grid with ``grid=True``) + evaluation only — the
         reference notebook's own phase-2 restart, which reloads
         AE_GLOBAL_BEST.pt and trains the MLP standalone
-        (Report.md:2590-2733)."""
+        (Report.md:2590-2733).
+
+        ``out_dir`` identifies ONE experiment: the sweep stores resume by
+        hyperparameter key and assume the dataset and seed are unchanged
+        across runs sharing the dir. The encoder->MLP pairing is
+        fingerprint-guarded (``mlp_provenance.json`` — a changed encoder
+        invalidates cached MLP results); a changed dataset or seed is NOT,
+        so point different experiments at different dirs."""
         cfg = self.config
         if cfg.runtime.debug_nans:
             from satae.utils.profiling import debug_mode
@@ -125,22 +149,8 @@ class SatAEPipeline:
             ae_res, ae_hp = None, {"reused": True}
         elif grid:
             if cfg.runtime.n_devices:
-                # config-parallel sweep over the mesh: one grid config per
-                # mesh row per round; grid_dp>1 adds a data axis so each
-                # config trains data-parallel (2-D config x data mesh)
-                from satae.parallel import make_grid_mesh, make_mesh
                 from satae.train.shard_sweep import ae_sharded_grid_search
-                if cfg.runtime.grid_dp > 1:
-                    if cfg.runtime.n_devices % cfg.runtime.grid_dp:
-                        raise ValueError(
-                            f"n_devices ({cfg.runtime.n_devices}) must be "
-                            f"divisible by grid_dp ({cfg.runtime.grid_dp})")
-                    mesh = make_grid_mesh(
-                        cfg.runtime.n_devices // cfg.runtime.grid_dp,
-                        cfg.runtime.grid_dp)
-                else:
-                    mesh = make_mesh(cfg.runtime.n_devices,
-                                     cfg.runtime.mesh_axis)
+                mesh = _grid_mesh(cfg)
                 sweep = ae_sharded_grid_search(
                     splits.train, splits.val, model_cfg=cfg.model,
                     data_cfg=cfg.data, ae_cfg=cfg.ae, mesh=mesh,
@@ -216,19 +226,14 @@ class SatAEPipeline:
                                     pad_multiple=pad_multiple)
         _stage("extract")
 
+        if out_dir:
+            self._guard_mlp_store(out_dir)
         if grid:
             if cfg.runtime.n_devices:
-                from satae.parallel import make_grid_mesh, make_mesh
                 from satae.train.shard_sweep import mlp_sharded_grid_search
-                if cfg.runtime.grid_dp > 1:
-                    # same 2-D mesh as the AE sweep; the MLP engine only
-                    # uses the config axis (per-config MLPs are tiny)
-                    mesh = make_grid_mesh(
-                        cfg.runtime.n_devices // cfg.runtime.grid_dp,
-                        cfg.runtime.grid_dp)
-                else:
-                    mesh = make_mesh(cfg.runtime.n_devices,
-                                     cfg.runtime.mesh_axis)
+                # same 2-D mesh shape as the AE sweep; the MLP engine only
+                # uses the config axis (per-config MLPs are tiny)
+                mesh = _grid_mesh(cfg)
                 msweep = mlp_sharded_grid_search(
                     Xtr, ytr, Xva, yva, model_cfg=cfg.model, mlp_cfg=cfg.mlp,
                     mesh=mesh, batch_size=cfg.data.batch_size,
@@ -327,6 +332,40 @@ class SatAEPipeline:
                                       Path(out_dir) / "mlp_best_curves.png",
                                       title=f"Best MLP ({mlp_hp})")
         return summary
+
+    def _guard_mlp_store(self, out_dir: str) -> None:
+        """Invalidate MLP artifacts trained on a DIFFERENT encoder's latents.
+
+        ``mlp_results.json`` caching and the ``mlp_global_best`` resume
+        competition (SweepBook) both assume the latents — hence the encoder
+        — are unchanged across runs sharing ``out_dir``. A reused or
+        imported AE (``reuse_ae=True`` after ``load_torch``/``load_ae``)
+        breaks that silently: cached lr results and the recorded winner
+        would pair a stale MLP with the new encoder's latents. Each fit
+        stamps ``mlp_provenance.json`` with a fingerprint of the encoder
+        actually used for extraction; a mismatch clears the store and the
+        global-best pair so the MLP stage starts clean."""
+        import hashlib
+
+        from flax import serialization
+
+        enc = jax.device_get({"p": self.ae_params["encoder"],
+                              "s": self.ae_bn_state["encoder"]})
+        fp = hashlib.sha1(serialization.to_bytes(enc)).hexdigest()
+        out = Path(out_dir)
+        prov = out / "mlp_provenance.json"
+        old = None
+        if prov.exists():
+            try:
+                old = json.loads(prov.read_text()).get("ae_fingerprint")
+            except (json.JSONDecodeError, OSError):
+                old = None
+        if old is not None and old != fp:
+            for name in ("mlp_results.json", "mlp_global_best.msgpack",
+                         "mlp_global_best.json"):
+                (out / name).unlink(missing_ok=True)
+        out.mkdir(parents=True, exist_ok=True)
+        prov.write_text(json.dumps({"ae_fingerprint": fp}))
 
     # -- inference ---------------------------------------------------------
 
@@ -637,15 +676,28 @@ class SatAEPipeline:
         """Persist the loaded models as msgpack checkpoints. AE-only
         pipelines (load_ae / AE-only load_torch) save just the autoencoder
         — the native-format conversion leg of the migration flows; reload
-        with :meth:`load_ae` (full :meth:`load` requires both files)."""
+        with :meth:`load_ae` (full :meth:`load` requires both files).
+
+        Saving weights that did NOT come from this dir also removes the
+        dir's ``*.json`` selection-meta sidecars: those describe the
+        PREVIOUS weights' sweep metrics, and leaving them would both
+        mislabel the new checkpoints and let a stale metric compete in a
+        later sweep's resume protection (SweepBook)."""
         self._require_fitted()
-        save_model(Path(out_dir) / "ae_global_best.msgpack", self.ae_params,
+        out = Path(out_dir)
+        same_src = (getattr(self, "_ae_src_dir", None)
+                    == str(out.resolve()))
+        save_model(out / "ae_global_best.msgpack", self.ae_params,
                    self.ae_bn_state)
+        if not same_src:
+            (out / "ae_global_best.json").unlink(missing_ok=True)
         if self.mlp_params is not None:
-            save_model(Path(out_dir) / "mlp_global_best.msgpack",
+            save_model(out / "mlp_global_best.msgpack",
                        self.mlp_params, self.mlp_bn_state)
+            if not same_src:
+                (out / "mlp_global_best.json").unlink(missing_ok=True)
         if self.classes:
-            (Path(out_dir) / "classes.json").write_text(
+            (out / "classes.json").write_text(
                 json.dumps(list(self.classes)))
 
     def load_ae(self, out_dir: str) -> "SatAEPipeline":
@@ -669,6 +721,9 @@ class SatAEPipeline:
         return self
 
     def load(self, out_dir: str) -> "SatAEPipeline":
+        """Load a full run dir (AE + MLP); delegates the AE leg (template
+        init, checkpoint restore, provenance stamp, classes.json) to
+        :meth:`load_ae` so the two stay in lockstep."""
         ae_file = Path(out_dir) / "ae_global_best.msgpack"
         mlp_file = Path(out_dir) / "mlp_global_best.msgpack"
         missing = [str(p) for p in (ae_file, mlp_file) if not p.exists()]
@@ -677,24 +732,12 @@ class SatAEPipeline:
                 f"no fitted pipeline under {out_dir!r} (missing: "
                 f"{', '.join(missing)}) — run fit(out_dir=...) or "
                 "`python -m satae.cli fit --out ...` first")
-        cfg = self.config
-        key = jax.random.PRNGKey(0)
-        ae_p, ae_s = supervised_ae_init(key, cfg.model,
-                                        in_ch=cfg.data.channels,
-                                        image_size=cfg.data.image_size)
-        mlp_p, mlp_s = mlp_init(key, cfg.model)
-        self.ae_params, self.ae_bn_state = load_model(
-            Path(out_dir) / "ae_global_best.msgpack", ae_p, ae_s)
-        self.mlp_params, self.mlp_bn_state = load_model(
-            Path(out_dir) / "mlp_global_best.msgpack", mlp_p, mlp_s)
-        self._ae_src_dir = str(Path(out_dir).resolve())
-        classes_file = Path(out_dir) / "classes.json"
-        if classes_file.exists():
-            self.classes = tuple(json.loads(classes_file.read_text()))
-        self._encode_step = None
+        self.load_ae(out_dir)
+        mlp_p, mlp_s = mlp_init(jax.random.PRNGKey(0), self.config.model)
+        self.mlp_params, self.mlp_bn_state = load_model(mlp_file,
+                                                        mlp_p, mlp_s)
         self._predict_step = None
         self._proba_step = None
-        self._decode_step = None
         return self
 
     def export_torch(self, dest_dir: str) -> None:

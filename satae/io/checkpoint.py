@@ -34,6 +34,14 @@ from satae.utils.strict_json import (dump_strict_json,
                                      json_sanitize as _json_sanitize)
 
 
+def _atomic_write_text(path: Path, text: str) -> None:
+    """tmp + rename so a kill mid-write never leaves a truncated file —
+    resume paths json.loads these, and a torn meta would brick resume."""
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
 def save_pytree(path: str | Path, pytree: Any) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -52,8 +60,8 @@ def save_model(path: str | Path, params: Any, bn_state: Any,
                meta: Optional[Dict[str, Any]] = None) -> None:
     save_pytree(path, {"params": params, "bn_state": bn_state})
     if meta is not None:
-        Path(path).with_suffix(".json").write_text(
-            dump_strict_json(meta, indent=2))
+        _atomic_write_text(Path(path).with_suffix(".json"),
+                           dump_strict_json(meta, indent=2))
 
 
 def load_model(path: str | Path, params_like: Any, bn_state_like: Any):
@@ -70,7 +78,8 @@ def save_train_state(path: str | Path, *, params: Any, bn_state: Any,
     save_pytree(path, {"params": params, "bn_state": bn_state,
                        "opt_state": opt_state})
     meta = {"epoch": int(epoch), **(extra or {})}
-    Path(path).with_suffix(".state.json").write_text(dump_strict_json(meta))
+    _atomic_write_text(Path(path).with_suffix(".state.json"),
+                       dump_strict_json(meta))
 
 
 def clear_train_state(path: str | Path) -> None:

@@ -108,8 +108,18 @@ def train_supervised_ae_scan(
             f"({data_cfg.batch_size}); the scan engine trains on full "
             "batches only — reduce batch_size or use loop.train_supervised_ae")
     if engine is not None:
-        assert mesh is None or engine.mesh is mesh, \
-            "engine was built with a different mesh than requested"
+        if mesh is not None and engine.mesh is not mesh:
+            # a hard error, not an assert: under python -O this would sail
+            # into an opaque XLA sharding failure (or a wrong collective
+            # topology) deep inside the first epoch
+            raise ValueError(
+                "engine was built with a different mesh than requested")
+        if engine.model_cfg != model_cfg or engine.data_cfg != data_cfg:
+            raise ValueError(
+                "engine was built for a different model/data config; its "
+                "compiled epoch programs close over the ORIGINAL configs — "
+                "a same-shaped mismatch would silently train with the "
+                "engine's hyperparameters")
         # compute_dtype=None means "inherit from engine"; anything explicit
         # must match exactly — a bf16 engine silently serving an (implicit)
         # f32 request was a real trap, so no default-coercion escape hatch.
@@ -337,6 +347,12 @@ def train_mlp_scan(
     log: Optional[LogFn] = None,
     device_data=None,
 ) -> TrainResult:
+    if engine is not None and engine.model_cfg != model_cfg:
+        raise ValueError(
+            "engine was built for a different model config; its compiled "
+            "epoch programs close over the ORIGINAL config — a same-shaped "
+            "mismatch (e.g. dropout rate) would silently train with the "
+            "engine's hyperparameters")
     engine = engine or MLPScanEngine(model_cfg)
     if device_data is None:
         device_data = upload_mlp_data(train_x, train_y, val_x, val_y,

@@ -75,16 +75,27 @@ class SweepBook:
         self.fallback_key = float("inf")
 
         # resume protection: the existing global-best checkpoint competes
-        # with freshly trained configs
+        # with freshly trained configs — but only when its meta actually
+        # carries the selection metric AND every hp key (api.fit stamps
+        # foreign encoders with meta like {"reused": true}; such provenance
+        # notes are not sweep results and must neither compete nor crash
+        # resolve() with a KeyError). Unreadable meta degrades the same way.
         self.ckpt_meta: Dict[str, float] = {}
         self.ckpt_metric = float("inf") if mode == "min" else -1.0
         if out_dir:
             meta_file = Path(out_dir) / f"{ckpt_name}.json"
             if meta_file.exists():
-                self.ckpt_meta = _json_restore(
-                    json.loads(meta_file.read_text()))
-                self.ckpt_metric = float(
-                    self.ckpt_meta.get(self.metric_key, self.ckpt_metric))
+                try:
+                    meta = _json_restore(json.loads(meta_file.read_text()))
+                except (json.JSONDecodeError, OSError):
+                    meta = {}
+                def _num(v):
+                    return isinstance(v, (int, float)) \
+                        and not isinstance(v, bool)
+                if (_num(meta.get(self.metric_key))
+                        and all(_num(meta.get(k)) for k in hp_keys)):
+                    self.ckpt_meta = meta
+                    self.ckpt_metric = float(meta[self.metric_key])
 
     # -- per-config -------------------------------------------------------
 

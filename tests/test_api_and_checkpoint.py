@@ -311,3 +311,135 @@ def test_json_artifacts_are_strict_json(tmp_path):
                meta={"best_val_loss": float("inf"), "diverged": True})
     meta = strict_loads((tmp_path / "m.json").read_text())
     assert math.isinf(float(meta["best_val_loss"]))
+
+
+def test_mlp_store_invalidated_on_encoder_change(raw, tmp_path):
+    """A reuse_ae grid fit into a dir whose MLP sweep was trained on a
+    DIFFERENT encoder must invalidate the cached MLP results and winner:
+    they were measured on the old encoder's latents, and resuming them
+    would silently pair a stale MLP with the new encoder."""
+    import jax
+
+    from satae.models.supervised_ae import supervised_ae_init
+
+    run = tmp_path / "run"
+    pipe = SatAEPipeline(TINY)
+    pipe.fit(raw, grid=True, out_dir=str(run))
+    prov0 = json.loads((run / "mlp_provenance.json").read_text())
+    store0 = (run / "mlp_results.json").read_text()
+    meta0 = (run / "mlp_global_best.json").read_text()
+
+    # same encoder, second grid fit: cache HITS (results unchanged)
+    SatAEPipeline(TINY).load_ae(str(run)).fit(raw, grid=True, reuse_ae=True,
+                                              out_dir=str(run))
+    assert (run / "mlp_results.json").read_text() == store0
+    assert json.loads((run / "mlp_provenance.json").read_text()) == prov0
+
+    # foreign encoder: store + winner cleared and retrained
+    other = SatAEPipeline(TINY)
+    other.ae_params, other.ae_bn_state = supervised_ae_init(
+        jax.random.PRNGKey(123), TINY.model, image_size=TINY.data.image_size)
+    other.fit(raw, grid=True, reuse_ae=True, out_dir=str(run))
+    prov1 = json.loads((run / "mlp_provenance.json").read_text())
+    assert prov1["ae_fingerprint"] != prov0["ae_fingerprint"]
+    assert (run / "mlp_results.json").read_text() != store0
+    assert (run / "mlp_global_best.json").read_text() != meta0
+
+
+def test_sweepbook_ignores_provenance_meta(tmp_path):
+    """A checkpoint meta without selection metrics (api.fit's foreign-AE
+    stamp {'reused': true}) must neither compete on resume nor crash
+    resolve() with a KeyError when every fresh config diverges; a torn
+    meta file degrades the same way."""
+    import math
+
+    from satae.train.loop import TrainResult
+    from satae.train.sweep_common import SweepBook
+
+    (tmp_path / "ae_global_best.json").write_text('{"reused": true}')
+    book = SweepBook(str(tmp_path), ckpt_name="ae_global_best",
+                     store_name="validation_losses.json", mode="min",
+                     hp_keys=("alpha", "lr"))
+    assert book.ckpt_meta == {}
+    diverged = TrainResult({"w": np.zeros(2)}, {}, float("inf"),
+                           float("nan"), -1, 3, {})
+    assert not book.offer(diverged, {"alpha": 20.0, "lr": 0.1})
+    res, hp = book.resolve(lambda: ({"w": np.zeros(2)}, {}), "test-sweep")
+    assert math.isinf(res.best_val_loss)  # fallback, not KeyError
+    assert hp == {"alpha": 20.0, "lr": 0.1}
+    # the fallback was checkpointed with the diverged marker
+    meta = json.loads((tmp_path / "ae_global_best.json").read_text())
+    assert meta.get("diverged") is True
+
+    # torn/truncated meta (crash mid-write predating atomic writes)
+    (tmp_path / "torn" ).mkdir()
+    (tmp_path / "torn" / "ae_global_best.json").write_text('{"alpha": 2')
+    book2 = SweepBook(str(tmp_path / "torn"), ckpt_name="ae_global_best",
+                      store_name="validation_losses.json", mode="min",
+                      hp_keys=("alpha", "lr"))
+    assert book2.ckpt_meta == {}
+
+
+def test_save_removes_stale_selection_meta(raw, tmp_path):
+    """pipe.save() into a dir whose checkpoints carried sweep meta must not
+    leave the old sidecars describing weights they were never measured on
+    (they'd mislabel the new checkpoints AND compete in a later sweep's
+    resume protection)."""
+    import jax
+
+    from satae.models.mlp import mlp_init
+    from satae.models.supervised_ae import supervised_ae_init
+
+    run = tmp_path / "run"
+    SatAEPipeline(TINY).fit(raw, grid=True, out_dir=str(run))
+    assert (run / "ae_global_best.json").exists()
+    assert (run / "mlp_global_best.json").exists()
+
+    # same-dir round-trip keeps the (accurate) meta
+    SatAEPipeline(TINY).load(str(run)).save(str(run))
+    assert (run / "ae_global_best.json").exists()
+    assert (run / "mlp_global_best.json").exists()
+
+    # foreign weights into the same dir: stale sidecars removed
+    other = SatAEPipeline(TINY)
+    other.ae_params, other.ae_bn_state = supervised_ae_init(
+        jax.random.PRNGKey(7), TINY.model, image_size=TINY.data.image_size)
+    other.mlp_params, other.mlp_bn_state = mlp_init(jax.random.PRNGKey(8),
+                                                    TINY.model)
+    other.save(str(run))
+    assert not (run / "ae_global_best.json").exists()
+    assert not (run / "mlp_global_best.json").exists()
+
+
+def test_mlp_engine_config_mismatch_raises():
+    """A shared MLPScanEngine compiled for one model config must refuse a
+    different config — the compiled epoch body closes over the ORIGINAL,
+    so a same-shaped mismatch would silently train the wrong model."""
+    import dataclasses as dc
+
+    import pytest as _pytest
+
+    from satae.train.fast_loop import MLPScanEngine, train_mlp_scan
+
+    x = np.random.default_rng(0).normal(size=(64, 16)).astype(np.float32)
+    y = np.zeros(64, np.int32)
+    engine = MLPScanEngine(TINY.model)
+    other_cfg = dc.replace(TINY.model, mlp_dropout=0.0)
+    with _pytest.raises(ValueError, match="different model config"):
+        train_mlp_scan(x, y, x, y, model_cfg=other_cfg, lr=1e-3,
+                       epochs=1, batch_size=32, engine=engine)
+
+
+def test_reuse_grid_dp_divisibility_validated(raw, tmp_path):
+    """grid_dp that doesn't divide n_devices must error loudly on EVERY
+    grid path — including reuse_ae fits that skip the AE sweep (the MLP
+    sweep would otherwise silently run on a truncated mesh)."""
+    import dataclasses as dc
+
+    src = tmp_path / "src"
+    SatAEPipeline(TINY).fit(raw, grid=False, out_dir=str(src))
+    cfg = dc.replace(TINY, runtime=RuntimeConfig(seed=0, n_devices=8,
+                                                 grid_dp=3))
+    pipe = SatAEPipeline(cfg).load_ae(str(src))
+    with pytest.raises(ValueError, match="divisible"):
+        pipe.fit(raw, grid=True, reuse_ae=True, out_dir=str(tmp_path / "d"))
