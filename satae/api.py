@@ -500,42 +500,41 @@ class SatAEPipeline:
         With ``RuntimeConfig.n_devices`` set, the encoder forward is
         batch-sharded over the device mesh (inputs padded to a device
         multiple, numerics-identical — the same DP path fit() extraction
-        uses); the mesh takes precedence over the Pallas kernels."""
-        self._require_fitted()
-        self._ensure_infer_steps()
-        imgs = self._to_uint8(images)
-        n = len(imgs)
-        if n == 0:  # defined for every backend (Pallas GEMMs reject m=0)
-            return np.zeros((0, self.config.model.latent_dim), np.float32)
-        pad = (-n) % self._encode_pad
-        if pad:
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        z = self._encode_step(*self._enc_infer_args, imgs)
-        return np.asarray(z, np.float32)[:n]
+        uses); the mesh takes precedence over the Pallas kernels.
+
+        Routed through the fixed-chunk bulk program (:meth:`encode_batched`):
+        serving varying N compiles at most two shapes per step, never one per
+        input size (a 20-60 s relay compile each on this hardware)."""
+        return self.encode_batched(images)
 
     def predict(self, images: np.ndarray) -> np.ndarray:
-        """Images -> predicted class ids, through encoder + MLP."""
-        self._require_fitted(mlp=True)
-        z = self.encode(images)
-        if len(z) == 0:
-            return np.zeros((0,), np.int32)
-        # f32 master MLP params: z is float32 on host, so the layers run f32
-        # regardless of compute_dtype (see _infer_trees docstring)
-        return np.asarray(self._predict_step(self.mlp_params,
-                                             self.mlp_bn_state, z))
+        """Images -> predicted class ids, through encoder + MLP.
+
+        Fixed-chunk program (see :meth:`encode`): identical numerics to the
+        bulk path — padding rows never interact (eval-mode BN uses running
+        stats; convs/linears are per-image)."""
+        return self.predict_batched(images)
 
     def predict_proba(self, images: np.ndarray) -> np.ndarray:
         """Images -> per-class probabilities (softmax over the MLP logits),
         (N, num_classes) float32. The serving confidence surface — no
         reference counterpart (the notebook only argmaxes,
-        Report.md:3179-3184)."""
-        self._require_fitted(mlp=True)
-        z = self.encode(images)
-        if len(z) == 0:
-            return np.zeros((0, self.config.model.num_classes), np.float32)
-        return np.asarray(self._proba_step(self.mlp_params,
-                                           self.mlp_bn_state, z))
+        Report.md:3179-3184). Fixed-chunk program (see :meth:`encode`)."""
+        return self.predict_proba_batched(images)
+
+    def _serve_chunk(self, n: int) -> int:
+        """Fixed serving chunk size (two-shapes-max discipline): inputs at or
+        below one training batch pad to the small bucket (single dispatch),
+        everything larger pads to the bulk chunk. Every serving entry point
+        therefore compiles at most two programs per jit step for ANY sequence
+        of input sizes — previously plain encode/predict/reconstruct padded
+        only to the device multiple and paid one XLA compile per distinct
+        input size (a 20-60 s relay stall each)."""
+        bs = self.config.data.batch_size
+        small = -(-bs // self._encode_pad) * self._encode_pad
+        if n <= small:
+            return small
+        return -(-bs * 8 // self._encode_pad) * self._encode_pad
 
     def _serve_batched(self, images: np.ndarray, head) -> list:
         """Shared bulk-serving executor: ONE host->device upload, fixed-size
@@ -548,8 +547,7 @@ class SatAEPipeline:
         imgs = self._to_uint8(np.asarray(images))
         n = len(imgs)
         self._ensure_infer_steps()
-        bs = self.config.data.batch_size
-        chunk = -(-bs * 8 // self._encode_pad) * self._encode_pad
+        chunk = self._serve_chunk(n)
         pad = (-n) % chunk
         if pad:
             imgs = np.concatenate(
@@ -557,8 +555,12 @@ class SatAEPipeline:
         imgs_dev = jax.device_put(imgs, self._encode_in_sharding)
         out = []
         for lo in range(0, n + pad, chunk):
-            z = self._encode_step(*self._enc_infer_args,
-                                  imgs_dev[lo:lo + chunk])
+            part = imgs_dev[lo:lo + chunk]
+            if self._encode_in_sharding is not None:
+                # slicing a sharded array drops the batch-axis sharding; put
+                # it back with a device-side reshard (no host round trip)
+                part = jax.device_put(part, self._encode_in_sharding)
+            z = self._encode_step(*self._enc_infer_args, part)
             # match predict(): the MLP runs on f32 latents (master params)
             out.append(head(z.astype(jnp.float32)))
         return out
@@ -615,11 +617,17 @@ class SatAEPipeline:
         ch = self.config.data.channels
         if n == 0:
             return np.zeros((0, sz, sz, ch), np.float32)
-        pad = (-n) % self._encode_pad
+        # fixed-chunk discipline like _serve_batched: one upload, at most two
+        # compiled shapes for any sequence of input sizes
+        chunk = self._serve_chunk(n)
+        pad = (-n) % chunk
         if pad:
             z = np.concatenate([z, np.zeros((pad, ld), np.float32)])
-        x = self._decode_step(*self._dec_infer_args, z)
-        return np.asarray(x, np.float32)[:n]
+        z_dev = jax.device_put(z)
+        outs = [self._decode_step(*self._dec_infer_args,
+                                  z_dev[lo:lo + chunk])
+                for lo in range(0, n + pad, chunk)]
+        return np.asarray(jnp.concatenate(outs), np.float32)[:n]
 
     def reconstruct(self, images: np.ndarray) -> np.ndarray:
         """Images -> autoencoder reconstructions ``x_hat``, float32 in [0,1].
@@ -628,22 +636,8 @@ class SatAEPipeline:
         ``(x_hat, logits, z)``, Report.md:429-433) as a serving surface:
         encoder and decoder run eval-mode on device with no host round-trip
         for the latents in between. Accepts uint8 or [0,1] floats like
-        :meth:`encode`."""
-        self._require_fitted()
-        self._ensure_infer_steps()
-        imgs = self._to_uint8(images)
-        n = len(imgs)
-        sz = self.config.data.image_size
-        ch = self.config.data.channels
-        if n == 0:
-            return np.zeros((0, sz, sz, ch), np.float32)
-        pad = (-n) % self._encode_pad
-        if pad:
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        z = self._encode_step(*self._enc_infer_args, imgs)
-        x = self._decode_step(*self._dec_infer_args, z)
-        return np.asarray(x, np.float32)[:n]
+        :meth:`encode`. Fixed-chunk program (see :meth:`encode`)."""
+        return self.reconstruct_batched(images)
 
     def reconstruct_batched(self, images: np.ndarray) -> np.ndarray:
         """reconstruct() over an arbitrarily sized image array via the bulk
