@@ -30,6 +30,7 @@ def raw():
     return RawDataset(imgs, labels, classes)
 
 
+@pytest.mark.quick
 def test_fit_encode_predict_save_load(raw, tmp_path):
     pipe = SatAEPipeline(TINY)
     summary = pipe.fit(raw, grid=False, out_dir=str(tmp_path))

@@ -7,6 +7,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from satae.config import DataConfig, ModelConfig
 from satae.data.synthetic import make_synthetic_eurosat
 from satae.eval import plots

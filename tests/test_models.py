@@ -15,6 +15,9 @@ from satae.models import (
     supervised_ae_apply,
     supervised_ae_init,
 )
+import pytest
+
+pytestmark = pytest.mark.quick
 
 CFG = ModelConfig()
 

@@ -13,6 +13,10 @@ from satae.data import augment
 from satae.eval import metrics as M
 from satae.nn import layers as L
 
+import pytest
+
+pytestmark = pytest.mark.quick
+
 
 @settings(max_examples=10, deadline=None)
 @given(in_ch=st.integers(1, 8), out_ch=st.integers(1, 8),

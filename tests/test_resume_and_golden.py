@@ -110,6 +110,7 @@ def test_resume_of_stopped_run_keeps_real_epoch_count(splits, tmp_path):
 GOLDEN_FILE = Path(__file__).parent / "golden" / "ae_trajectory.json"
 
 
+@pytest.mark.quick
 def test_golden_training_trajectory(splits):
     """Numerics regression tripwire: a fixed-seed 3-epoch run on the CPU test
     platform must reproduce the stored loss trajectory. Regenerate with

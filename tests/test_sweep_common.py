@@ -11,6 +11,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from satae.io.checkpoint import GridResultStore
 from satae.train.loop import TrainResult
 from satae.train.sweep_common import SweepBook, save_best_checkpoint

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from satae.data.synthetic import _HARD, make_synthetic_eurosat
 
 
