@@ -106,6 +106,8 @@ class SatAEPipeline:
         invalidates cached MLP results); a changed dataset or seed is NOT,
         so point different experiments at different dirs."""
         cfg = self.config
+        from satae.parallel.distributed import maybe_initialize
+        maybe_initialize(cfg.runtime.multihost)
         if cfg.runtime.debug_nans:
             from satae.utils.profiling import debug_mode
             with debug_mode(nans=True):

@@ -41,6 +41,7 @@ def _config_from_args(args) -> "PipelineConfig":
                               compute_dtype=args.dtype,
                               use_pallas=args.pallas,
                               n_devices=args.n_devices,
+                              multihost=getattr(args, "multihost", False),
                               grid_dp=getattr(args, "grid_dp", 1),
                               debug_nans=args.debug_nans,
                               save_grid_curves=getattr(args, "save_curves",
@@ -334,6 +335,11 @@ def build_parser() -> argparse.ArgumentParser:
                        help="device count: data-parallel training "
                             "(grid=False) or config-parallel sweeps "
                             "(grid=True, one config per device per round)")
+        p.add_argument("--multihost", action="store_true",
+                       help="initialize the multi-process JAX runtime "
+                            "(jax.distributed.initialize, auto-detected "
+                            "coordinator) before touching devices; "
+                            "equivalent to SATAE_MULTIHOST=1")
         p.add_argument("--grid-dp", type=int, default=1,
                        help="grid mode: data-parallel devices per config "
                             "(2-D config x data mesh; n-devices must be "
@@ -429,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    # multi-process init must precede the first jax backend touch
+    from satae.parallel.distributed import maybe_initialize
+    maybe_initialize(getattr(args, "multihost", False))
     args.fn(args)
 
 

@@ -137,6 +137,9 @@ class RuntimeConfig:
     use_pallas: bool = False
     mesh_axis: str = "data"  # 1-D data-parallel mesh axis name
     n_devices: Optional[int] = None  # data-parallel device count (None = 1)
+    # multi-process runtime: gates jax.distributed.initialize() before the
+    # first backend touch (satae.parallel.distributed; also SATAE_MULTIHOST=1)
+    multihost: bool = False
     grid_dp: int = 1  # grid mode: data-parallel devices PER CONFIG (2-D mesh)
     parallel_configs: bool = False  # vmapped grid sweep instead of sequential
     debug_nans: bool = False  # jax_debug_nans during fit (triage runs)
