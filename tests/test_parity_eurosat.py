@@ -51,9 +51,17 @@ def test_full_pipeline_reference_parity(tmp_path):
     splits = make_splits(raw, cfg.data)
     ev = pipe.evaluate(splits.test)
     (out / "classification_report.txt").write_text(ev["report"])
-    plots.confusion_display(ev["confusion_matrix"],
-                            pipe.classes or [str(i) for i in range(10)],
+    classes = pipe.classes or [str(i) for i in range(10)]
+    plots.confusion_display(ev["confusion_matrix"], classes,
                             out / "confusion_test.png")
     print(ev["report"])
+    # full evidence pack: per-class P/R/F1 deltas vs Report.md:3218-3233 +
+    # the Forest<->SeaLake confusion-structure check (VERDICT-r3 #4) — one
+    # run in a data-bearing environment closes the whole BASELINE.md table
+    from satae.eval.parity_report import write_parity_report
+    text = write_parity_report(ev, ev["confusion_matrix"], classes,
+                               out / "parity_vs_reference.md",
+                               test_acc=summary.test_acc)
+    print(text)
     assert summary.test_acc >= 0.747, (
         f"parity miss: {summary.test_acc:.4f} < 0.747")
