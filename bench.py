@@ -6,9 +6,15 @@ Prints exactly ONE JSON line on stdout:
 The headline is the full fused TRAINING step — the reference's dominant
 workload (45-config grid + 11-lr grid are all training, SURVEY.md §3.3):
 uint8 batch -> on-device augmentation -> joint-loss forward -> backward ->
-Adam, one jit program, in the recommended throughput recipe: bf16 compute
-with f32 master params + rbg augmentation PRNG (both quality-verified
-against the defaults end to end on the hard synthetic tier — docs/PERF.md).
+Adam, measured in the shape training actually executes: a lax.scan of
+SCAN_K steps per dispatch, like the whole-epoch scan programs the sweep
+engines run (fast_loop/hbm.py). Isolated per-call dispatches pay ~2.4 ms of
+TPU-relay dispatch latency per step on top of the ~4.9 ms device step
+(measured, benchmarks/step_anatomy.json) — that number is recorded as the
+*_single_dispatch supplementary keys (it is what rounds 1-3 published).
+Recipe: bf16 compute with f32 master params + rbg augmentation PRNG (both
+quality-verified against the defaults end to end on the hard synthetic
+tier — docs/PERF.md).
 ``vs_baseline`` is measured against the identical architecture + identical
 step running in torch on CPU (the reference notebook's CPU fallback,
 Report.md:163-167; the reference publishes no throughput numbers of its own,
@@ -35,6 +41,7 @@ import numpy as np
 
 INFER_BATCH = 4096
 TRAIN_BATCH = 1024
+SCAN_K = 20  # train steps per scanned dispatch (the deployed epoch shape)
 WARMUP = 2
 ITERS = 20
 TORCH_BATCH = 64
@@ -108,12 +115,22 @@ def bench_jax() -> dict:
     log(f"jax encode+classify: {infer_ips:,.0f} images/sec "
         f"({dt / ITERS * 1e3:.2f} ms/batch of {INFER_BATCH})")
 
-    # headline: fused train-step throughput (params chain step-to-step)
+    # headline: fused train-step throughput in the SHAPE TRAINING ACTUALLY
+    # RUNS — a lax.scan of SCAN_K steps per dispatch, exactly like the
+    # whole-epoch scan programs the sweep engines execute (fast_loop/hbm.py).
+    # Isolated per-call dispatches additionally pay ~2.4 ms of TPU-relay
+    # dispatch latency per step (measured, benchmarks/step_anatomy.json);
+    # that number is kept as the supplementary *_single_dispatch key (it is
+    # what serving ONE step costs, and it is what BENCH_r01-r03 measured).
+    from functools import partial
+
+    from satae.train.steps import ae_train_step_body
+
     imgs_t = jax.device_put(rng.integers(0, 255, (TRAIN_BATCH, 64, 64, 3),
                                          dtype=np.uint8))
     labels = jax.device_put(rng.integers(0, 10, TRAIN_BATCH).astype(np.int32))
     alpha, lr = jnp.asarray(35.0), jnp.asarray(5e-3)
-    train_ips = {}
+    train_ips, train_ips_single = {}, {}
     # headline = the recommended throughput recipe: bf16 compute + rbg
     # augmentation PRNG (both quality-verified at full scale on the hard
     # tier, docs/PERF.md); f32 stays on the default threefry stream as the
@@ -121,8 +138,44 @@ def bench_jax() -> dict:
     rbg_cfg = DataConfig(aug_rng_impl="rbg")
     for name, dtype, dcfg in (("bf16+rbg", jnp.bfloat16, rbg_cfg),
                               ("f32", jnp.float32, data_cfg)):
-        train_step = make_ae_train_step(model_cfg, dcfg, dtype,
-                                        donate=True)
+        body = ae_train_step_body(model_cfg, dcfg, dtype)
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def scan_steps(params, bn_state, opt_state, key, _body=body):
+            def one(carry, k):
+                p, s, o = carry
+                p, s, o, m = _body(p, s, o, imgs_t, labels, k, alpha, lr)
+                return (p, s, o), m["loss"]
+
+            carry, losses = jax.lax.scan(
+                one, (params, bn_state, opt_state),
+                jax.random.split(key, SCAN_K))
+            return (*carry, losses[-1])
+
+        params, bn_state = supervised_ae_init(key, model_cfg)
+        opt_state = adam_init(params)
+        for i in range(WARMUP):
+            params, bn_state, opt_state, loss = scan_steps(
+                params, bn_state, opt_state, jax.random.PRNGKey(i))
+        float(loss)
+        # best of 3 timing windows: the TPU relay adds run-to-run jitter;
+        # the max window is the cleanest view of device throughput
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(ITERS):
+                params, bn_state, opt_state, loss = scan_steps(
+                    params, bn_state, opt_state, jax.random.PRNGKey(i))
+            float(loss)
+            best = max(best, TRAIN_BATCH * ITERS * SCAN_K
+                       / (time.perf_counter() - t0))
+        train_ips[name] = best
+        log(f"jax fused train step ({name}, scan-of-{SCAN_K}, best of 3): "
+            f"{best:,.0f} images/sec")
+
+        # supplementary: the isolated single-dispatch step (relay dispatch
+        # latency included — the r1-r3 methodology)
+        train_step = make_ae_train_step(model_cfg, dcfg, dtype, donate=True)
         params, bn_state = supervised_ae_init(key, model_cfg)
         opt_state = adam_init(params)
         for i in range(WARMUP):
@@ -130,8 +183,6 @@ def bench_jax() -> dict:
                 params, bn_state, opt_state, imgs_t, labels,
                 jax.random.PRNGKey(i), alpha, lr)
         float(m["loss"])
-        # best of 3 timing windows: the TPU relay adds run-to-run jitter;
-        # the max window is the cleanest view of device throughput
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
@@ -141,12 +192,14 @@ def bench_jax() -> dict:
                     jax.random.PRNGKey(i), alpha, lr)
             float(m["loss"])
             best = max(best, TRAIN_BATCH * ITERS / (time.perf_counter() - t0))
-        train_ips[name] = best
-        log(f"jax fused train step ({name}, best of 3): "
-            f"{train_ips[name]:,.0f} images/sec")
+        train_ips_single[name] = best
+        log(f"jax fused train step ({name}, single-dispatch, best of 3): "
+            f"{best:,.0f} images/sec")
     return {"infer_ips": infer_ips,
             "train_ips_bf16_rbg": train_ips["bf16+rbg"],
             "train_ips_f32": train_ips["f32"],
+            "train_ips_bf16_rbg_single": train_ips_single["bf16+rbg"],
+            "train_ips_f32_single": train_ips_single["f32"],
             "device_kind": getattr(dev, "device_kind", "?"),
             "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"}
 
@@ -289,6 +342,13 @@ def main() -> None:
         "train_images_per_sec_bf16_rbg": round(jax_res["train_ips_bf16_rbg"],
                                                1),
         "train_images_per_sec_f32": round(jax_res["train_ips_f32"], 1),
+        # the r1-r3 methodology (isolated dispatches: step + ~2.4 ms relay
+        # dispatch latency each) — kept for cross-round comparability
+        "train_images_per_sec_bf16_rbg_single_dispatch":
+            round(jax_res["train_ips_bf16_rbg_single"], 1),
+        "train_images_per_sec_f32_single_dispatch":
+            round(jax_res["train_ips_f32_single"], 1),
+        "scan_k": SCAN_K,
         # MFU = useful model FLOPs vs MXU peak; executed_flops_util counts
         # the subpixel/augment FLOPs the program actually runs; hbm_util =
         # analytic bytes/step vs 819 GB/s (satae/utils/roofline.py — the
