@@ -97,12 +97,18 @@ def train_flops_per_image(mc: ModelConfig, dc: DataConfig,
     Backward re-runs ~2x the forward matmul work (input-grad + weight-grad),
     except: augmentation is not differentiated (inputs are not params) and
     the first conv's input-grad is dead (its input is the augmented image).
+
+    The deconv backward executes DENSE taps in both kinds: the subpixel
+    deconv's custom VJP (layers._subpixel_bwd, round 4) computes dL/dx as
+    the dense k3/s2 adjoint conv and dL/dw as its native weight-grad — only
+    the forward pays the subpixel 16/9 executed-tap factor.
     """
     m = _conv_macs(mc, dc, executed=(kind == "executed"))
+    m_dense = _conv_macs(mc, dc, executed=False)
     s = dc.image_size
     conv0 = (s // 2) ** 2 * mc.encoder_channels[0] * 9 * dc.channels
     fwd = sum(m.values())
-    bwd = 2 * (fwd - m["aug"]) - conv0
+    bwd = 2 * (sum(m_dense.values()) - m_dense["aug"]) - conv0
     return 2.0 * (fwd + bwd)
 
 
