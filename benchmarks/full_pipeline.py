@@ -46,6 +46,9 @@ def main() -> None:
     ap.add_argument("--cache-dir", default="benchmarks/.data_cache",
                     help="decode/generation cache (~70 s saved per run at "
                          "full synthetic-hard scale); '' disables")
+    ap.add_argument("--throughput", action="store_true",
+                    help="opt-in large-batch recipe: batch 1024 + Adam "
+                         "sqrt-scaled grid lrs (config.throughput_config)")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +66,9 @@ def main() -> None:
         runtime=RuntimeConfig(parallel_configs=args.vmap,
                               compute_dtype=args.dtype),
     )
+    if args.throughput:
+        from satae.config import throughput_config
+        cfg = throughput_config(cfg)
     pipe = SatAEPipeline(cfg)
 
     dev = jax.devices()[0]
@@ -82,6 +88,8 @@ def main() -> None:
         "data": args.data or f"synthetic-{args.synthetic_difficulty}",
         "compute_dtype": args.dtype,
         "aug_rng": args.aug_rng,
+        "throughput": args.throughput,
+        "batch_size": cfg.data.batch_size,
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         **dataclasses.asdict(summary),
     }

@@ -28,7 +28,7 @@ def _config_from_args(args) -> "PipelineConfig":
         ae = dataclasses.replace(ae, checkpoint_every=args.ckpt_every)
     mlp = MLPTrainConfig() if args.mlp_epochs is None else \
         MLPTrainConfig(epochs=args.mlp_epochs)
-    return PipelineConfig(
+    cfg = PipelineConfig(
         data=DataConfig(root=args.data, per_class=args.per_class,
                         cache_dir=args.cache_dir,
                         synthetic_difficulty=getattr(
@@ -47,6 +47,10 @@ def _config_from_args(args) -> "PipelineConfig":
                               save_grid_curves=getattr(args, "save_curves",
                                                        False)),
     )
+    if getattr(args, "throughput", False):
+        from satae.config import throughput_config
+        cfg = throughput_config(cfg)
+    return cfg
 
 
 def cmd_fit(args) -> None:
@@ -364,6 +368,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(p_fit)
     p_fit.add_argument("--grid", action="store_true",
                        help="full 45-config AE grid + 11-lr MLP grid")
+    p_fit.add_argument("--throughput", action="store_true",
+                       help="opt-in large-batch recipe: batch 1024 + Adam "
+                            "sqrt-scaled grid lrs; selection semantics "
+                            "unchanged (see config.throughput_config)")
     p_fit.add_argument("--save-curves", action="store_true",
                        help="save per-config curve PNGs under OUT/curves/ "
                             "(the reference's per-LR figures)")

@@ -23,6 +23,7 @@ Unlike the reference, the per-class subsample is seeded here (the reference's
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -163,3 +164,38 @@ class PipelineConfig:
 
 def default_config() -> PipelineConfig:
     return PipelineConfig()
+
+
+def throughput_config(cfg: PipelineConfig,
+                      batch_size: int = 1024) -> PipelineConfig:
+    """Opt-in large-batch sweep recipe (`satae fit --throughput`).
+
+    The faithful default keeps the reference's batch 64 (Report.md:246), and
+    there the AE grid — 96.5% of end-to-end wall-clock — is pinned at a
+    ~120 ms/epoch floor by per-step param/optimizer traffic plus small-batch
+    underutilization (dtype-insensitive; every step-level lever probed is a
+    measured negative — docs/PERF.md). The only escapes are multi-chip
+    (config-sharded sweeps) or larger batches. This recipe trades per-step
+    faithfulness for ~16x fewer optimizer steps per epoch: batch 1024 with
+    each grid learning rate scaled by sqrt(B/64) (the Adam square-root
+    scaling rule — variance of the per-step gradient estimate drops by the
+    batch ratio). EVERYTHING selection-related is unchanged: per-config
+    val-loss (AE) / val-acc (MLP) winners, early stopping, epoch accounting,
+    checkpoint format. Quality must be gated per docs/PERF.md's seed-band
+    protocol before trusting results at a new scale.
+    """
+    if batch_size % cfg.data.batch_size:
+        raise ValueError(
+            f"throughput batch_size {batch_size} must be a multiple of the "
+            f"faithful batch_size {cfg.data.batch_size} (lr scaling rule)")
+    k = math.sqrt(batch_size / cfg.data.batch_size)
+    return dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, batch_size=batch_size),
+        ae=dataclasses.replace(
+            cfg.ae, learning_rates=tuple(lr * k
+                                         for lr in cfg.ae.learning_rates)),
+        mlp=dataclasses.replace(
+            cfg.mlp, learning_rates=tuple(lr * k
+                                          for lr in cfg.mlp.learning_rates)),
+    )

@@ -48,6 +48,21 @@ REFERENCE_AGGREGATE = {
 }
 
 
+def check_parity_gate(test_acc: float,
+                      threshold: float = REFERENCE_AGGREGATE["accuracy"],
+                      ) -> None:
+    """The real-EuroSAT acceptance gate: aggregate test accuracy must reach
+    the reference headline (0.7473, Report.md:3119). Raises AssertionError
+    below the threshold; per-class deltas stay evidence-only (module
+    docstring caveat). Factored out of the EUROSAT_DIR-gated integration
+    test so its failure mode is itself testable without the dataset
+    (tests/test_parity_report.py)."""
+    if not test_acc >= threshold:  # NaN also fails
+        raise AssertionError(
+            f"real-EuroSAT parity miss: test accuracy {test_acc:.4f} < "
+            f"reference headline {threshold:.4f} (Report.md:3119)")
+
+
 def forest_sealake_confusion(cm: np.ndarray,
                              classes: Sequence[str]) -> Optional[Dict]:
     """Fraction of true-Forest samples predicted SeaLake (and the reverse) —

@@ -36,8 +36,12 @@ from satae.utils.strict_json import (dump_strict_json,
 
 def _atomic_write_text(path: Path, text: str) -> None:
     """tmp + rename so a kill mid-write never leaves a truncated file —
-    resume paths json.loads these, and a torn meta would brick resume."""
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    resume paths json.loads these, and a torn meta would brick resume. The
+    tmp name carries the pid: under multi-process execution every process
+    writes the same artifacts with identical bytes (last rename wins), and a
+    shared tmp path would let one process rename another's half-written
+    file."""
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
     tmp.write_text(text)
     os.replace(tmp, path)
 
@@ -46,7 +50,7 @@ def save_pytree(path: str | Path, pytree: Any) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     host = jax.device_get(pytree)
-    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp = path.with_suffix(path.suffix + f".tmp.{os.getpid()}")
     tmp.write_bytes(serialization.to_bytes(host))
     os.replace(tmp, path)
 
@@ -133,7 +137,7 @@ class GridResultStore:
     def record(self, key: str, value: Dict[str, Any]) -> None:
         self.results[key] = value
         self.path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = self.path.with_suffix(".tmp")
+        tmp = self.path.with_suffix(f".tmp.{os.getpid()}")
         tmp.write_text(dump_strict_json(self.results, indent=2))
         os.replace(tmp, self.path)
 

@@ -11,9 +11,12 @@ Opt-in only (``RuntimeConfig.multihost`` / ``satae fit --multihost`` /
 single-process run would try to reach a coordinator and hang, so it must
 never be implicit. With no explicit coordinator arguments JAX auto-detects
 the cluster environment (Cloud TPU pod metadata, GKE, SLURM, Open MPI);
-non-auto-detectable setups pass coordinator/process env vars
-(JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID — read natively
-by jax.distributed.initialize).
+non-auto-detectable setups pass coordinator/process env vars:
+JAX_COORDINATOR_ADDRESS is read natively by jax.distributed.initialize;
+JAX_NUM_PROCESSES and JAX_PROCESS_ID are NOT (jax 0.9 only auto-detects
+Slurm/MPI/TPU-pod clusters), so :func:`maybe_initialize` forwards them
+explicitly — the combination is exercised for real by
+tests/test_multihost_real.py on a 2-process localhost CPU cluster.
 
 Topology note (scaling-book mental model): after initialization,
 ``jax.devices()`` enumerates every chip in the slice; a 1-D "data" mesh over
@@ -64,7 +67,15 @@ def maybe_initialize(flag: Optional[bool] = None) -> bool:
         return True
     import jax
 
-    jax.distributed.initialize()
+    # jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself but
+    # has no env-var path for the process topology outside managed clusters
+    # (Slurm/MPI/TPU pods) — forward it so plain-subprocess launches work.
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
     _initialized = True
     return True
 

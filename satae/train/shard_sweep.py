@@ -62,7 +62,25 @@ def _slice_tree(tree: Any, i: int) -> Any:
 
 
 def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    """device_get that also works under real multi-process execution: leaves
+    spanning non-addressable devices (config shards owned by another host)
+    are allgathered so every process sees the full value (process_allgather
+    on a non-fully-addressable array returns it fully replicated)."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(get, tree)
+
+
+def _offerable(tree: Any) -> Any:
+    """Snapshot trees handed to SweepBook.offer stay in HBM single-process
+    (save_model reads the winner exactly once); under multi-process every
+    process must hold the full value for the identical-bytes checkpoint
+    write, so gather eagerly."""
+    return _to_host(tree) if jax.process_count() > 1 else tree
 
 
 def _shard_cfg_axis(mesh, tree: Any, axis: str) -> Any:
@@ -254,7 +272,7 @@ def ae_sharded_grid_search(
             per-config bookkeeping; True when every config has stopped."""
             nonlocal best_val, best_acc, best_epoch, bad, active, \
                 stopped_at, n_processed
-            tsum, vsum = jax.device_get((tsum, vsum))
+            tsum, vsum = _to_host((tsum, vsum))
             nv = vsum["n"]
             for k in hist_keys:
                 for i in range(n_dev):
@@ -330,7 +348,7 @@ def ae_sharded_grid_search(
             # resume, never a cached-but-uncheckpointed winner
             if i in round_best_snaps:
                 # snapshot-backed candidate: full best + fallback offer
-                book.offer(mk_res(*round_best_snaps[i]), hp)
+                book.offer(mk_res(*_offerable(round_best_snaps[i])), hp)
             else:
                 # no best-epoch snapshot was retained (never crossed the
                 # winner threshold): only the end-of-run weights exist, and
@@ -339,7 +357,8 @@ def ae_sharded_grid_search(
                 cand = float(np.nan_to_num(best_val[i], nan=np.inf))
                 if book.fallback is None or cand < book.fallback_key:
                     book.offer_fallback(
-                        mk_res(_slice_tree(vparams, i), _slice_tree(vbn, i)),
+                        mk_res(*_offerable((_slice_tree(vparams, i),
+                                          _slice_tree(vbn, i)))),
                         hp)
             book.record(key, {"alpha": alpha, "lr": lr,
                               "best_val_loss": float(best_val[i]),
@@ -464,7 +483,7 @@ def mlp_sharded_grid_search(
         in_flight = None  # (epoch, device tsum, device vsum, device snapshot)
 
         def process(p_epoch, tsum, vsum, snap):
-            tsum, vsum = jax.device_get((tsum, vsum))
+            tsum, vsum = _to_host((tsum, vsum))
             nv = vsum["n"]
             val_acc = vsum["acc"] / nv
             val_loss = vsum["loss"] / nv
@@ -512,10 +531,11 @@ def mlp_sharded_grid_search(
                        "best_epoch": int(best_epoch[i])}
             if test_batches is not None and i in snapshots:
                 sp, sb = snapshots[i]
-                tm = jax.device_get(jeval_single(sp, sb, *test_batches))
+                tm = _to_host(jeval_single(sp, sb, *test_batches))
                 summary["test_acc"] = float(tm["acc"] / tm["n"])
             if i in snapshots:  # checkpoint strictly before the store flush
                 sp, sb = snapshots[i]
+                sp, sb = _offerable((sp, sb))
                 book.offer(
                     TrainResult(sp, sb, float(best_loss[i]),
                                 float(best_acc[i]), int(best_epoch[i]),
@@ -530,9 +550,10 @@ def mlp_sharded_grid_search(
                 # instead of resolve() raising with nothing to return
                 cand = float(np.nan_to_num(-best_acc[i], nan=np.inf))
                 if book.fallback is None or cand < book.fallback_key:
+                    fsp, fsb = _offerable((_slice_tree(vparams, i),
+                                           _slice_tree(vbn, i)))
                     book.offer_fallback(
-                        TrainResult(_slice_tree(vparams, i),
-                                    _slice_tree(vbn, i),
+                        TrainResult(fsp, fsb,
                                     float(best_loss[i]), float(best_acc[i]),
                                     int(best_epoch[i]), mlp_cfg.epochs,
                                     {k: history[k][i] for k in history}),
