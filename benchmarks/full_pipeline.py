@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--throughput", action="store_true",
                     help="opt-in large-batch recipe: batch 1024 + Adam "
                          "sqrt-scaled grid lrs (config.throughput_config)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (data split stays fixed) — the "
+                         "throughput quality gate runs seeds 0..2")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +67,7 @@ def main() -> None:
                         aug_rng_impl=args.aug_rng,
                         cache_dir=args.cache_dir or None),
         runtime=RuntimeConfig(parallel_configs=args.vmap,
-                              compute_dtype=args.dtype),
+                              compute_dtype=args.dtype, seed=args.seed),
     )
     if args.throughput:
         from satae.config import throughput_config
@@ -89,6 +92,7 @@ def main() -> None:
         "compute_dtype": args.dtype,
         "aug_rng": args.aug_rng,
         "throughput": args.throughput,
+        "seed": args.seed,
         "batch_size": cfg.data.batch_size,
         "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
         **dataclasses.asdict(summary),

@@ -37,9 +37,12 @@ def main():
     from satae.train.optim import adam_init
     from satae.train.steps import ae_train_step_body
 
+    dtype = jnp.float32 if "f32" in sys.argv[1:] else jnp.bfloat16
+    out = Path(sys.argv[sys.argv.index("--out") + 1]) \
+        if "--out" in sys.argv else Path("/tmp/satae_trace")
     model_cfg = ModelConfig()
     data_cfg = DataConfig(aug_rng_impl="rbg")
-    body = ae_train_step_body(model_cfg, data_cfg, jnp.bfloat16)
+    body = ae_train_step_body(model_cfg, data_cfg, dtype)
 
     rng = np.random.default_rng(0)
     imgs = jax.device_put(rng.integers(0, 255, (BATCH, 64, 64, 3),
@@ -64,9 +67,8 @@ def main():
         params, bn_state, opt_state, loss = scan_k(
             params, bn_state, opt_state, jax.random.PRNGKey(i))
     float(loss)
-    log("warm; starting trace")
+    log(f"warm ({dtype.__name__}); starting trace -> {out}")
 
-    out = Path("/tmp/satae_trace")
     try:
         with jax.profiler.trace(str(out)):
             for i in range(3):
