@@ -264,7 +264,14 @@ def main() -> None:
                     help="max |acc_torch - acc_satae| to pass")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="benchmarks/torch_parity")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the satae side on CPU too (TPU-relay-outage "
+                         "fallback; quality numbers are platform-portable)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from satae.api import SatAEPipeline
     from satae.config import (AETrainConfig, DataConfig, MLPTrainConfig,
